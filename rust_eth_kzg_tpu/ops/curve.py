@@ -1,0 +1,294 @@
+"""Batched G1 arithmetic for the TPU: complete projective formulas over Fp limbs.
+
+TPU-native replacement for blst's G1 group ops (consumed by the reference at
+/root/reference/crates/cryptography/bls12_381/src/{lincomb.rs,batch_addition.rs}).
+Instead of branchy affine/Jacobian code, we use the *complete* projective
+addition/doubling formulas of Renes-Costello-Batina 2015 (eprint 2015/1060,
+Algorithms 7-9 specialized to a = 0): they are exception-free — identity,
+doubling and inverse inputs all flow through the same straight-line code — so
+every lane of the VPU executes the same instructions with no masking for the
+group-law edge cases.
+
+A point set is a NamedTuple of three limb arrays `[FP_LIMBS, *batch]` in
+Montgomery form. The identity is (0 : R : 0). Coordinates are lazily reduced:
+all values stay < 4p between operations (see ops/field.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import FP_LIMBS, P
+from . import field as F
+from . import limbs as limb_utils
+
+FP = F.FP
+# b3 = 3*b = 12, premultiplied into Montgomery form, used as a constant multiplier
+_B3_MONT = limb_utils.int_to_limbs(12 * FP.r_mod_p % P, FP_LIMBS)
+
+
+class G1(NamedTuple):
+    """Projective (X : Y : Z), each [FP_LIMBS, *batch] Montgomery limbs."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    @property
+    def batch_shape(self):
+        return self.x.shape[1:]
+
+
+class G1Affine(NamedTuple):
+    """Affine (x, y) + identity mask, each [FP_LIMBS, *batch] / [*batch]."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    inf: jnp.ndarray  # bool [*batch]
+
+
+def identity(batch_shape=()) -> G1:
+    zero = FP.broadcast_const(FP.zero, batch_shape)
+    one = FP.broadcast_const(FP.one_mont, batch_shape)
+    return G1(x=zero, y=one, z=zero)
+
+
+def _mul(a, b):
+    return F.mont_mul(FP, a, b)
+
+
+def _mul_b3(a):
+    return F.mont_mul_const(FP, a, _B3_MONT)
+
+
+def _add(a, b):
+    return F.add(FP, a, b)
+
+
+def _sub(a, b, kp=2):
+    return F.sub(FP, a, b, kp)
+
+
+@jax.jit
+def add(p: G1, q: G1) -> G1:
+    """Complete projective addition (RCB 2015, Algorithm 7 with a=0, b3 via
+    constant Montgomery multiply). Handles identity / doubling / inverse lanes.
+
+    Bound discipline: inputs < 4p per coordinate, outputs < 4p.
+    """
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    t0 = _mul(x1, x2)
+    t1 = _mul(y1, y2)
+    t2 = _mul(z1, z2)
+    t3 = _sub(_sub(_mul(_add(x1, y1), _add(x2, y2)), t0), t1)  # x1y2 + x2y1, < 6p
+    t4 = _sub(_sub(_mul(_add(y1, z1), _add(y2, z2)), t1), t2)  # y1z2 + y2z1, < 6p
+    ty = _sub(_sub(_mul(_add(x1, z1), _add(x2, z2)), t0), t2)  # x1z2 + x2z1, < 6p
+    t0_3 = _add(_add(t0, t0), t0)  # 3 x1x2, < 6p
+    t2_b = _mul_b3(t2)  # 3b z1z2, < 2p
+    z3 = _add(t1, t2_b)  # < 4p
+    t1_n = _sub(t1, t2_b)  # y1y2 - 3b z1z2, < 4p
+    ty_b = _mul_b3(ty)  # 3b (x1z2 + x2z1), < 2p
+    x3 = _sub(_mul(t3, t1_n), _mul(t4, ty_b))  # < 4p
+    y3 = _add(_mul(t1_n, z3), _mul(ty_b, t0_3))  # < 4p
+    z3 = _add(_mul(z3, t4), _mul(t0_3, t3))  # < 4p
+    return G1(x=x3, y=y3, z=z3)
+
+
+@jax.jit
+def add_mixed(p: G1, q_affine: G1Affine) -> G1:
+    """Complete mixed addition (RCB Algorithm 8 shape, a=0): q has Z = 1.
+
+    Lanes where `q_affine.inf` is set return `p` unchanged (affine form cannot
+    encode the identity, so it is masked at the output select).
+    """
+    x1, y1, z1 = p
+    x2, y2 = q_affine.x, q_affine.y
+    t0 = _mul(x1, x2)
+    t1 = _mul(y1, y2)
+    t3 = _sub(_sub(_mul(_add(x1, y1), _add(x2, y2)), t0), t1)  # < 6p
+    t4 = _add(_mul(y2, z1), y1)  # y1 + y2 z1, < 6p
+    ty = _add(_mul(x2, z1), x1)  # x1 + x2 z1, < 6p
+    t0_3 = _add(_add(t0, t0), t0)
+    t2_b = _mul_b3(z1)  # 3b z1, < 2p
+    z3 = _add(t1, t2_b)
+    t1_n = _sub(t1, t2_b)
+    ty_b = _mul_b3(ty)
+    x3 = _sub(_mul(t3, t1_n), _mul(t4, ty_b))
+    y3 = _add(_mul(t1_n, z3), _mul(ty_b, t0_3))
+    z3 = _add(_mul(z3, t4), _mul(t0_3, t3))
+    out = G1(x=x3, y=y3, z=z3)
+    return select(q_affine.inf, p, out)
+
+
+@jax.jit
+def double(p: G1) -> G1:
+    """Complete projective doubling (RCB Algorithm 9, a=0). Bounds < 4p."""
+    x, y, z = p
+    t0 = _mul(y, y)
+    z3 = F.double(FP, F.double(FP, F.double(FP, t0)))  # 8 y^2, < 16p
+    t1 = _mul(y, z)
+    t2 = _mul_b3(_mul(z, z))  # 3b z^2, < 2p
+    x3 = _mul(t2, z3)  # < 2p
+    y3 = _add(t0, t2)  # < 4p
+    z3 = _mul(t1, z3)  # < 2p
+    t2_3 = _add(_add(t2, t2), t2)  # < 6p
+    t0 = _sub(t0, t2_3, kp=8)  # y^2 - 9b z^2 (+8p), < 10p
+    y3 = _add(_mul(t0, y3), x3)  # < 4p
+    t1 = _mul(x, y)
+    x3 = F.double(FP, _mul(t0, t1))  # < 4p
+    return G1(x=x3, y=y3, z=z3)
+
+
+@jax.jit
+def neg(p: G1) -> G1:
+    return G1(x=p.x, y=F.neg(FP, p.y, kp=4), z=p.z)
+
+
+def select(cond: jnp.ndarray, a: G1, b: G1) -> G1:
+    """Lanewise `cond ? a : b`; cond is [*batch]."""
+    c = cond[None]
+    return G1(
+        x=jnp.where(c, a.x, b.x), y=jnp.where(c, a.y, b.y), z=jnp.where(c, a.z, b.z)
+    )
+
+
+@jax.jit
+def is_identity(p: G1) -> jnp.ndarray:
+    return F.is_zero(FP, p.z, bound_kp=4)
+
+
+@jax.jit
+def equal(p: G1, q: G1) -> jnp.ndarray:
+    """Projective equality: x1 z2 == x2 z1 and y1 z2 == y2 z1 (identity-aware)."""
+    both_inf = jnp.logical_and(is_identity(p), is_identity(q))
+    one_inf = jnp.logical_xor(is_identity(p), is_identity(q))
+    ex = F.equal(FP, _mul(p.x, q.z), _mul(q.x, p.z))
+    ey = F.equal(FP, _mul(p.y, q.z), _mul(q.y, p.z))
+    return jnp.logical_or(both_inf, jnp.logical_and(~one_inf, ex & ey))
+
+
+@partial(jax.jit, static_argnums=1)
+def reduce_sum(p: G1, axis: int = 1) -> G1:
+    """Sum of points along one batch axis by log-depth pairwise addition."""
+    arrs = [jnp.moveaxis(c, axis, 1) for c in p]
+    p = G1(*arrs)
+    n = p.x.shape[1]
+    while n > 1:
+        half = n // 2
+        even = G1(*(c[:, : 2 * half : 2] for c in p))
+        odd = G1(*(c[:, 1 : 2 * half : 2] for c in p))
+        merged = add(even, odd)
+        if n % 2:
+            tail = G1(*(c[:, -1:] for c in p))
+            merged = G1(
+                *(jnp.concatenate([m, t], axis=1) for m, t in zip(merged, tail))
+            )
+        p = merged
+        n = p.x.shape[1]
+    out = G1(*(c[:, 0] for c in p))
+    return out
+
+
+@jax.jit
+def scalar_mul(p: G1, scalar_bits: jnp.ndarray) -> G1:
+    """Double-and-add: scalar_bits is [nbits, *batch] (MSB first), p is [*batch].
+
+    Constant sequence of complete ops per lane; used for small/irregular scalar
+    multiplications (the hot paths use windowed MSM kernels instead).
+    """
+    acc = identity(p.batch_shape)
+
+    def step(acc, bits):
+        acc = double(acc)
+        with_p = add(acc, p)
+        return select(bits, with_p, acc), None
+
+    acc, _ = jax.lax.scan(step, acc, scalar_bits)
+    return acc
+
+
+@jax.jit
+def batch_normalize(p: G1) -> G1Affine:
+    """Projective -> affine over the full batch with one Montgomery inversion.
+
+    Equivalent of the reference's `g1_batch_normalize`
+    (/root/reference/crates/cryptography/bls12_381/src/lib.rs:56-104);
+    identity lanes are flagged and mapped to (0, 0).
+    """
+    inf = is_identity(p)
+    one = FP.broadcast_const(FP.one_mont, p.batch_shape)
+    z_safe = F.select(inf, one, p.z)
+    flat = z_safe.reshape(FP_LIMBS, -1)
+    zinv = F.batch_inverse(FP, flat, axis=1).reshape(z_safe.shape)
+    x = F.canonical(FP, _mul(p.x, zinv))
+    y = F.canonical(FP, _mul(p.y, zinv))
+    zero = FP.broadcast_const(FP.zero, p.batch_shape)
+    return G1Affine(
+        x=F.select(inf, zero, x), y=F.select(inf, zero, y), inf=inf
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device conversion
+# ---------------------------------------------------------------------------
+
+
+def points_to_device(points) -> G1:
+    """List of host affine points ((x, y) ints or None) -> projective G1 [.., N]."""
+    xs, ys, zs = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append(0)
+            ys.append(1)
+            zs.append(0)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            zs.append(1)
+    return G1(
+        x=jnp.asarray(FP.to_mont_host(xs)),
+        y=jnp.asarray(FP.to_mont_host(ys)),
+        z=jnp.asarray(FP.to_mont_host(zs)),
+    )
+
+
+def affine_to_device(points) -> G1Affine:
+    """List of host affine points -> G1Affine arrays (identity lanes masked)."""
+    xs, ys, inf = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append(0)
+            ys.append(1)
+            inf.append(True)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            inf.append(False)
+    return G1Affine(
+        x=jnp.asarray(FP.to_mont_host(xs)),
+        y=jnp.asarray(FP.to_mont_host(ys)),
+        inf=jnp.asarray(np.array(inf)),
+    )
+
+
+def points_from_device(p: G1) -> list:
+    """Projective G1 (any batch shape, flattened) -> list of host affine/None."""
+    flat = G1(*(c.reshape(FP_LIMBS, -1) for c in p))
+    aff = batch_normalize(flat)
+    xs = FP.from_mont_host(np.asarray(aff.x))
+    ys = FP.from_mont_host(np.asarray(aff.y))
+    inf = np.asarray(aff.inf)
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, inf)]
+
+
+def affine_from_device(aff: G1Affine) -> list:
+    xs = FP.from_mont_host(np.asarray(aff.x.reshape(FP_LIMBS, -1)))
+    ys = FP.from_mont_host(np.asarray(aff.y.reshape(FP_LIMBS, -1)))
+    inf = np.asarray(aff.inf).reshape(-1)
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, inf)]

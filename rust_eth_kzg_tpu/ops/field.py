@@ -1,0 +1,322 @@
+"""Batched prime-field arithmetic for the TPU: Montgomery CIOS over 15-bit limbs.
+
+This is the TPU-native replacement for blst's field assembly (consumed by the
+reference at /root/reference/crates/cryptography/bls12_381/src/lib.rs:45-140):
+instead of one scalar value per register, every operation acts on an array of
+field elements shaped `[L, *batch]` (limb-major), so the batch axis maps onto
+the 8x128 VPU lanes and XLA fuses the unrolled limb arithmetic.
+
+Design:
+- radix B = 2^15 in int32 lanes. Products of normalized limbs are < 2^30
+  (signed-safe) and CIOS accumulators stay < 2^23 between carry sweeps.
+- **Lazy reduction**: values are *not* kept canonical. `mont_mul` accepts any
+  inputs with value < 25p (Fp) / < 181r (Fr) and returns a value < 2p; add and
+  sub never reduce. Chains of a few additions between multiplications are
+  therefore free of conditional subtractions. Canonicalization happens only at
+  serialization boundaries and equality checks.
+- Limbs are always kept normalized in [0, 2^15) by a carry sweep at the end of
+  every op, so products never overflow.
+
+All functions are jit-friendly (static shapes, no Python-level data-dependent
+control flow).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import FP_LIMBS, FR_LIMBS, LIMB_BITS, LIMB_MASK, P, R_SCALAR
+from . import limbs as limb_utils
+
+
+# eq=False gives identity-based hashing so a FieldSpec can be a static jit arg.
+@dataclass(frozen=True, eq=False)
+class FieldSpec:
+    """Static per-field constants (host numpy; broadcast into kernels)."""
+
+    modulus: int
+    nlimbs: int
+    # derived
+    r: int = field(init=False)  # Montgomery radix B^nlimbs
+    r_mod_p: int = field(init=False)
+    r2_mod_p: int = field(init=False)
+    n0inv: int = field(init=False)  # -p^-1 mod 2^15
+    p_limbs: np.ndarray = field(init=False)  # [L]
+    p2_limbs: np.ndarray = field(init=False)  # 2p, for lazy subtraction
+    p4_limbs: np.ndarray = field(init=False)  # 4p
+    one_mont: np.ndarray = field(init=False)  # R mod p, [L]
+    r2_limbs: np.ndarray = field(init=False)
+    zero: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        object.__setattr__(self, "r", 1 << (LIMB_BITS * self.nlimbs))
+        object.__setattr__(self, "r_mod_p", self.r % self.modulus)
+        object.__setattr__(self, "r2_mod_p", self.r * self.r % self.modulus)
+        object.__setattr__(
+            self, "n0inv", (-pow(self.modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        )
+        object.__setattr__(
+            self, "p_limbs", limb_utils.int_to_limbs(self.modulus, self.nlimbs)
+        )
+        object.__setattr__(
+            self, "p2_limbs", limb_utils.int_to_limbs(2 * self.modulus, self.nlimbs)
+        )
+        object.__setattr__(
+            self, "p4_limbs", limb_utils.int_to_limbs(4 * self.modulus, self.nlimbs)
+        )
+        object.__setattr__(
+            self, "one_mont", limb_utils.int_to_limbs(self.r_mod_p, self.nlimbs)
+        )
+        object.__setattr__(
+            self, "r2_limbs", limb_utils.int_to_limbs(self.r2_mod_p, self.nlimbs)
+        )
+        object.__setattr__(self, "zero", np.zeros(self.nlimbs, dtype=np.int32))
+
+    # --- host-side conversion helpers ---
+
+    def to_mont_host(self, values) -> np.ndarray:
+        """Python ints -> Montgomery limb array [L, N]."""
+        m = self.modulus
+        return limb_utils.ints_to_limbs(
+            [v % m * self.r_mod_p % m for v in values], self.nlimbs
+        )
+
+    def from_mont_host(self, limbs) -> list:
+        """Montgomery limb array [L, N] (any lazy bound) -> canonical ints."""
+        r_inv = pow(self.r_mod_p, -1, self.modulus)
+        return [
+            v * r_inv % self.modulus for v in limb_utils.limbs_to_ints(np.asarray(limbs))
+        ]
+
+    def broadcast_const(self, const_limbs: np.ndarray, batch_shape) -> jnp.ndarray:
+        return jnp.broadcast_to(
+            jnp.asarray(const_limbs).reshape((self.nlimbs,) + (1,) * len(batch_shape)),
+            (self.nlimbs,) + tuple(batch_shape),
+        )
+
+
+FR = FieldSpec(modulus=R_SCALAR, nlimbs=FR_LIMBS)
+FP = FieldSpec(modulus=P, nlimbs=FP_LIMBS)
+
+
+def _carry_sweep(t: jnp.ndarray) -> jnp.ndarray:
+    """Full signed carry propagation along the limb axis (axis 0).
+
+    Input limbs may be any int32 values (including negatives, e.g. from `sub`);
+    output limbs are in [0, 2^15) provided the represented value is >= 0 and
+    fits the limb count.
+    """
+
+    def step(carry, row):
+        v = row + carry
+        return v >> LIMB_BITS, v & LIMB_MASK
+
+    _, out = jax.lax.scan(step, jnp.zeros_like(t[0]), t)
+    return out
+
+
+@partial(jax.jit, static_argnums=0)
+def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """value(a) + value(b); no reduction."""
+    return _carry_sweep(a + b)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, kp: int = 2) -> jnp.ndarray:
+    """value(a) - value(b) + kp*p (kp in {2, 4}); caller must have value(b) < kp*p."""
+    const = spec.p2_limbs if kp == 2 else spec.p4_limbs
+    shift = const.reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+    return _carry_sweep(a - b + shift)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def neg(spec: FieldSpec, a: jnp.ndarray, kp: int = 2) -> jnp.ndarray:
+    """kp*p - value(a)."""
+    const = spec.p2_limbs if kp == 2 else spec.p4_limbs
+    shift = const.reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+    return _carry_sweep(shift - a)
+
+
+@partial(jax.jit, static_argnums=0)
+def double(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return _carry_sweep(a + a)
+
+
+@partial(jax.jit, static_argnums=0)
+def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product a*b*R^-1 mod p (up to a multiple of p; result < 2p).
+
+    CIOS with the limb loop unrolled at trace time. a, b: [L, *batch] with
+    normalized limbs; values may be lazily-reduced multiples of p (see module
+    docstring for bounds).
+    """
+    nl = spec.nlimbs
+    batch_shape = a.shape[1:]
+    a, b = jnp.broadcast_arrays(a, b)
+    # accumulator rows [L+2, *batch]
+    t = jnp.zeros((nl + 2,) + tuple(batch_shape), dtype=jnp.int32)
+    p_row = jnp.asarray(spec.p_limbs).reshape((nl,) + (1,) * len(batch_shape))
+    zero_row = jnp.zeros((1,) + tuple(batch_shape), dtype=jnp.int32)
+
+    for i in range(nl):
+        ai = a[i]
+        prod = ai * b  # [L, *batch], < 2^30
+        lo = prod & LIMB_MASK
+        hi = prod >> LIMB_BITS
+        t = t.at[:nl].add(lo).at[1 : nl + 1].add(hi)
+        m = ((t[0] & LIMB_MASK) * spec.n0inv) & LIMB_MASK
+        prod2 = m * p_row
+        lo2 = prod2 & LIMB_MASK
+        hi2 = prod2 >> LIMB_BITS
+        t = t.at[:nl].add(lo2).at[1 : nl + 1].add(hi2)
+        # t[0] is now divisible by 2^15; shift the whole accumulator down one limb
+        carry0 = t[0] >> LIMB_BITS
+        t = jnp.concatenate([t[1:], zero_row], axis=0).at[0].add(carry0)
+
+    return _carry_sweep(t)[:nl]
+
+
+def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return mont_mul(spec, a, a)
+
+
+def mont_mul_const(spec: FieldSpec, a: jnp.ndarray, const_limbs: np.ndarray) -> jnp.ndarray:
+    """Montgomery product with a per-field constant (e.g. R^2 for to_mont)."""
+    c = spec.broadcast_const(const_limbs, a.shape[1:])
+    return mont_mul(spec, a, c)
+
+
+@partial(jax.jit, static_argnums=0)
+def to_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return mont_mul_const(spec, a, spec.r2_limbs)
+
+
+@partial(jax.jit, static_argnums=0)
+def from_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery -> canonical standard form in [0, p)."""
+    one = spec.broadcast_const(
+        limb_utils.int_to_limbs(1, spec.nlimbs), a.shape[1:]
+    )
+    return canonical(spec, mont_mul(spec, a, one))
+
+
+def _cond_sub(spec: FieldSpec, a: jnp.ndarray, const_limbs: np.ndarray) -> jnp.ndarray:
+    """a - c if a >= c else a (values compared as integers)."""
+    shift = jnp.asarray(const_limbs).reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+    diff = a - shift
+
+    def step(carry, row):
+        v = row + carry
+        return v >> LIMB_BITS, v & LIMB_MASK
+
+    borrow, reduced = jax.lax.scan(step, jnp.zeros_like(a[0]), diff)
+    return jnp.where(borrow < 0, a, reduced)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def canonical(spec: FieldSpec, a: jnp.ndarray, bound_kp: int = 2) -> jnp.ndarray:
+    """Reduce a value < bound_kp * p into [0, p) with log2(bound_kp)+... subtractions."""
+    k = bound_kp
+    while k > 1:
+        k = (k + 1) // 2
+        mult = limb_utils.int_to_limbs(k * spec.modulus, spec.nlimbs)
+        a = _cond_sub(spec, a, mult)
+    return _cond_sub(spec, a, spec.p_limbs)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def is_zero(spec: FieldSpec, a: jnp.ndarray, bound_kp: int = 2) -> jnp.ndarray:
+    """Boolean [*batch]: value == 0 mod p."""
+    return jnp.all(canonical(spec, a, bound_kp) == 0, axis=0)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def equal(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, bound_kp: int = 2) -> jnp.ndarray:
+    return jnp.all(
+        canonical(spec, a, bound_kp) == canonical(spec, b, bound_kp), axis=0
+    )
+
+
+def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise `cond ? a : b` where cond is [*batch] and a, b are [L, *batch]."""
+    return jnp.where(cond[None], a, b)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def pow_fixed(spec: FieldSpec, a: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    """a^exponent in Montgomery form (square-and-multiply via lax.scan)."""
+    nbits = max(exponent.bit_length(), 1)
+    bits = jnp.asarray(
+        [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.bool_
+    )
+    one = spec.broadcast_const(spec.one_mont, a.shape[1:])
+
+    def step(acc, bit):
+        acc = mont_sqr(spec, acc)
+        acc = select(
+            jnp.broadcast_to(bit, acc.shape[1:]), mont_mul(spec, acc, a), acc
+        )
+        return acc, None
+
+    out, _ = jax.lax.scan(step, one, bits)
+    return out
+
+
+@partial(jax.jit, static_argnums=0)
+def inv_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery inverse via Fermat (a^(p-2)); a must be nonzero mod p."""
+    return pow_fixed(spec, a, spec.modulus - 2)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def batch_inverse(spec: FieldSpec, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """Montgomery's trick over one batch axis: one inversion for N elements.
+
+    TPU-shaped replacement for the reference's scratchpad scan
+    (/root/reference/crates/cryptography/bls12_381/src/batch_inversion.rs:6-57):
+    two log-depth `associative_scan` prefix/suffix product passes + one Fermat
+    inversion, instead of two sequential passes.
+    """
+    if axis != 1:
+        a = jnp.moveaxis(a, axis, 1)
+
+    def combine(x, y):
+        return mont_mul(spec, x, y)
+
+    # inclusive prefix products along axis 1 (scan over axis 0 of moved array)
+    moved = jnp.moveaxis(a, 1, 0)  # [N, L, *rest]
+    prefix = jax.lax.associative_scan(
+        lambda x, y: jnp.moveaxis(
+            combine(jnp.moveaxis(x, 0, 1), jnp.moveaxis(y, 0, 1)), 1, 0
+        ),
+        moved,
+        axis=0,
+    )
+    suffix = jax.lax.associative_scan(
+        lambda x, y: jnp.moveaxis(
+            combine(jnp.moveaxis(x, 0, 1), jnp.moveaxis(y, 0, 1)), 1, 0
+        ),
+        moved,
+        axis=0,
+        reverse=True,
+    )
+    prefix = jnp.moveaxis(prefix, 0, 1)  # [L, N, *rest]
+    suffix = jnp.moveaxis(suffix, 0, 1)
+    total_inv = inv_mont(spec, prefix[:, -1])  # [L, *rest]
+
+    n = a.shape[1]
+    one = spec.broadcast_const(spec.one_mont, (1,) + tuple(a.shape[2:]))
+    # inv[i] = prefix[i-1] * suffix[i+1] * total_inv
+    prefix_excl = jnp.concatenate([one, prefix[:, : n - 1]], axis=1)
+    suffix_excl = jnp.concatenate([suffix[:, 1:], one], axis=1)
+    out = mont_mul(
+        spec, mont_mul(spec, prefix_excl, suffix_excl), total_inv[:, None]
+    )
+    if axis != 1:
+        out = jnp.moveaxis(out, 1, axis)
+    return out
