@@ -1,0 +1,262 @@
+"""FK20 multi-point prover: blob -> 128 cells + 128 proofs, as one jitted pipeline.
+
+TPU-first redesign of the reference FK20 engine
+(/root/reference/crates/cryptography/kzg_multi_open/src/fk20/{prover.rs:32-234,
+h_poly.rs:18-68,batch_toeplitz.rs:17-125,toeplitz.rs:47-145}).
+
+Key structural differences from the reference (same math, TPU shapes):
+- The Toeplitz -> circulant embedding is a *static gather*: the 64 circulant
+  rows are read out of the (reversed) coefficient vector with one precomputed
+  index map + zero mask instead of building matrix objects.
+- The 64 column FFTs are one batched NTT; the 128 size-64 fixed-base MSMs are
+  one batched windowed-table MSM (`ops.msm.FixedBaseMSM` with an instance
+  axis); the G1 FFTs batch their twiddle scalar-muls across every butterfly of
+  a stage.
+- Everything is batched over a leading blob axis: `prove` maps
+  [B, poly_len] blobs -> [B, num_proofs] proofs + [B, num_proofs, coset] cells.
+
+The whole prove path is pure jit (static shapes fixed by the protocol).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import FR_LIMBS
+from ..ops import curve as C
+from ..ops import field as F
+from ..ops import msm as M
+from ..ops import ntt
+
+FR = F.FR
+
+
+@dataclass(frozen=True)
+class FK20Config:
+    """Protocol geometry. Mainnet: poly_len=4096, coset_size=64, expansion=2."""
+
+    poly_len: int = 4096
+    coset_size: int = 64
+    expansion: int = 2
+    # window width for the batched fixed-base MSM tables; None disables the
+    # precomputed tables (UsePrecomp::No analog) and falls back to lincomb.
+    fk20_window: int | None = 8
+    commit_window: int | None = 8
+
+    @property
+    def ext_size(self) -> int:  # number_of_points_to_open
+        return self.poly_len * self.expansion
+
+    @property
+    def num_proofs(self) -> int:
+        return self.ext_size // self.coset_size
+
+
+def _circulant_index_map(poly_len: int, coset_size: int):
+    """Static (index, mask) arrays mapping poly coefficients to circulant rows.
+
+    Row i of the batch-Toeplitz system (i < coset_size) is the circulant
+    embedding of Toeplitz row r_i[t] = c[poly_len - 1 - i - coset_size*t]:
+      circ[i][0]      = r_i[0]
+      circ[i][1..k]   = 0
+      circ[i][k + t]  = r_i[k - t] = c[coset_size*t - i - 1]   (t = 1..k-1)
+    where k = poly_len / coset_size. Derived from CirculantMatrix::from_toeplitz
+    (toeplitz.rs:132-145) + compute_h_poly_commitments (h_poly.rs:18-57).
+    """
+    k = poly_len // coset_size
+    idx = np.zeros((coset_size, 2 * k), dtype=np.int64)
+    mask = np.zeros((coset_size, 2 * k), dtype=bool)
+    for i in range(coset_size):
+        idx[i, 0] = poly_len - 1 - i
+        mask[i, 0] = True
+        for t in range(1, k):
+            j = coset_size * t - i - 1
+            if 0 <= j < poly_len:
+                idx[i, k + t] = j
+                mask[i, k + t] = True
+    return idx, mask
+
+
+class FK20Prover:
+    """Holds device-resident SRS tables + domains; prove() is one jit program.
+
+    Equivalent of FK20Prover::new (prover.rs:64-125): the SRS is reversed,
+    truncated by one coset, strided into coset_size vectors, group-FFT'd over
+    the circulant domain, and baked into per-proof-slot MSM tables.
+    """
+
+    def __init__(self, commit_key_points: list, config: FK20Config):
+        cfg = config
+        assert cfg.poly_len % cfg.coset_size == 0
+        self.config = cfg
+        k = cfg.poly_len // cfg.coset_size  # vector length before padding
+        self.circulant_domain = ntt.domain(2 * k)
+        self.proof_domain = ntt.domain(cfg.num_proofs)
+        self.evaluation_domain = ntt.domain(cfg.ext_size)
+        self.poly_domain = ntt.domain(cfg.poly_len)
+
+        # --- SRS -> per-slot fixed points (setup-time, host+device) ---
+        # reversed SRS minus the last coset, strided: vector i holds
+        # g1s[poly_len - 1 - coset_size - i - coset_size*t] for t = 0..k-2
+        srs = commit_key_points
+        vectors = []
+        for i in range(cfg.coset_size):
+            vec = [None] * (2 * k)  # pad to the circulant domain with identity
+            for t in range(k - 1):
+                vec[t] = srs[cfg.poly_len - 1 - cfg.coset_size - i - cfg.coset_size * t]
+            vectors.append(vec)
+        flat = [pt for vec in vectors for pt in vec]
+        dev = C.points_to_device(flat)
+        dev = C.G1(*(c.reshape(-1, cfg.coset_size, 2 * k) for c in dev))
+        # group-FFT each SRS vector over the circulant domain: [coset, 2k]
+        slot_points = self.circulant_domain.fft_g1(dev)
+        # transpose -> per-slot point sets [2k, coset]
+        slot_points = C.G1(*(jnp.swapaxes(c, 1, 2) for c in slot_points))
+        if cfg.fk20_window is not None:
+            self.tables = M.build_fixed_base_msm(
+                slot_points, cfg.fk20_window, instance_ndim=1
+            )
+            self._slot_points = None
+        else:
+            self.tables = None
+            self._slot_points = slot_points
+
+        # --- commit key tables ---
+        commit_pts = C.points_to_device(list(srs[: cfg.poly_len]))
+        if cfg.commit_window is not None:
+            self.commit_tables = M.build_fixed_base_msm(commit_pts, cfg.commit_window)
+            self._commit_points = None
+        else:
+            self.commit_tables = None
+            self._commit_points = commit_pts
+
+        ci, cm = _circulant_index_map(cfg.poly_len, cfg.coset_size)
+        self._circ_idx = jnp.asarray(ci)
+        self._circ_mask = jnp.asarray(cm)
+
+    # --- pipeline pieces (all shapes [L, B, ...]) ---
+
+    def blob_to_poly(self, data: jnp.ndarray) -> jnp.ndarray:
+        """Blob scalars (evaluation form, bit-reversed order) -> coefficients.
+
+        Matches Input::Data handling (prover.rs:107-113): un-bit-reverse, IFFT.
+        """
+        data = ntt.bit_reverse_permutation(data, axis=-1)
+        return self.poly_domain.ifft(data)
+
+    def _h_poly_commitments(
+        self, poly: jnp.ndarray, slot_sharding=None
+    ) -> C.G1:
+        """poly: [L, B, poly_len] -> h-poly commitments G1 [B, k].
+
+        With `slot_sharding` set (a NamedSharding over [L, B, slots, coset]),
+        the per-slot MSM work is constrained to shard across the mesh's work
+        axis (see parallel/mesh.py).
+        """
+        cfg = self.config
+        k = cfg.poly_len // cfg.coset_size
+        # circulant rows via static gather + mask: [L, B, coset, 2k]
+        rows = jnp.take(poly, self._circ_idx.reshape(-1), axis=-1)
+        rows = rows.reshape(poly.shape[:-1] + (cfg.coset_size, 2 * k))
+        rows = jnp.where(self._circ_mask[None, None], rows, 0)
+        col_fft = self.circulant_domain.fft(
+            rows.reshape(FR.nlimbs, -1, 2 * k)
+        ).reshape(rows.shape)
+        # transpose to per-slot scalars [L, B, 2k, coset]
+        msm_scalars = jnp.swapaxes(col_fft, -1, -2)
+        if slot_sharding is not None:
+            msm_scalars = jax.lax.with_sharding_constraint(
+                msm_scalars, slot_sharding
+            )
+        if self.tables is not None:
+            slot_results = M.fixed_base_msm(self.tables, msm_scalars)  # [B, 2k]
+        else:
+            pts = C.G1(
+                *(
+                    jnp.broadcast_to(
+                        c[:, None], (c.shape[0], msm_scalars.shape[1]) + c.shape[1:]
+                    )
+                    for c in self._slot_points
+                )
+            )
+            slot_results = M.lincomb(pts, msm_scalars)
+        # inverse group-FFT, keep first k entries (h-poly commitments)
+        return self.circulant_domain.ifft_g1(slot_results, take_n=k)
+
+    def _proofs_from_h(self, h_comms: C.G1) -> C.G1:
+        """h commitments [B, k] -> bit-reversed proofs [B, num_proofs]."""
+        cfg = self.config
+        b = h_comms.batch_shape[0]
+        pad = cfg.num_proofs - h_comms.batch_shape[1]
+        idp = C.identity((b, pad))
+        padded = C.G1(
+            *(jnp.concatenate([c, i], axis=-1) for c, i in zip(h_comms, idp))
+        )
+        proofs = self.proof_domain.fft_g1(padded)
+        return C.G1(*(ntt.bit_reverse_permutation(c, axis=-1) for c in proofs))
+
+    def _coset_evaluations(self, poly: jnp.ndarray) -> jnp.ndarray:
+        """poly [L, B, n] -> cells [L, B, num_proofs, coset] (bit-reversed order).
+
+        Matches compute_coset_evaluations (prover.rs:158-165).
+        """
+        cfg = self.config
+        padded = jnp.concatenate(
+            [poly, jnp.zeros(poly.shape[:-1] + (cfg.ext_size - cfg.poly_len,), poly.dtype)],
+            axis=-1,
+        )
+        evals = self.evaluation_domain.fft(padded)
+        evals = ntt.bit_reverse_permutation(evals, axis=-1)
+        return evals.reshape(evals.shape[:-1] + (cfg.num_proofs, cfg.coset_size))
+
+    @partial(jax.jit, static_argnums=0)
+    def prove_from_poly(self, poly: jnp.ndarray):
+        """poly coefficients [L, B, poly_len] -> (proofs G1Affine [B, num_proofs],
+        cells [L, B, num_proofs, coset]).
+
+        The full §3.2 pipeline of SURVEY.md as a single XLA program.
+        """
+        from ..utils.tracing import span
+
+        with span("fk20/h_poly_commitments"):
+            h = self._h_poly_commitments(poly)
+        with span("fk20/proofs_g1_fft"):
+            proofs = self._proofs_from_h(h)
+        with span("fk20/coset_evaluations"):
+            cells = self._coset_evaluations(poly)
+        with span("fk20/batch_normalize"):
+            out = C.batch_normalize(proofs)
+        return out, cells
+
+    @partial(jax.jit, static_argnums=0)
+    def prove_from_data(self, data: jnp.ndarray):
+        """Blob scalars [L, B, poly_len] (bit-reversed eval form) -> proofs+cells."""
+        return self.prove_from_poly(self.blob_to_poly(data))
+
+    @partial(jax.jit, static_argnums=0)
+    def extend_from_data(self, data: jnp.ndarray) -> jnp.ndarray:
+        return self._coset_evaluations(self.blob_to_poly(data))
+
+    @partial(jax.jit, static_argnums=0)
+    def commit_from_poly(self, poly: jnp.ndarray) -> C.G1:
+        """poly [L, B, n] -> commitments G1 [B]."""
+        if self.commit_tables is not None:
+            return M.fixed_base_msm(self.commit_tables, poly)
+        pts = C.G1(
+            *(
+                jnp.broadcast_to(
+                    c[:, None], (c.shape[0], poly.shape[1]) + c.shape[1:]
+                )
+                for c in self._commit_points
+            )
+        )
+        return M.lincomb(pts, poly)
+
+    @partial(jax.jit, static_argnums=0)
+    def commit_from_data(self, data: jnp.ndarray) -> C.G1:
+        return self.commit_from_poly(self.blob_to_poly(data))

@@ -1,0 +1,153 @@
+"""FK20 batch verifier for cell proofs.
+
+Rebuild of /root/reference/crates/cryptography/kzg_multi_open/src/fk20/
+verifier.rs:39-384: the three proof/commitment MSMs and the <=128 batched
+64-point coset IFFTs run on device; Fiat-Shamir, the per-batch scalar
+bookkeeping, and the closing 2-pairing check run on the host.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import R_SCALAR
+from ..errors import InvalidProofError
+from ..ops import curve as C
+from ..ops import field as F
+from ..ops import limbs as L
+from ..ops import msm as M
+from ..ops import ntt
+from ..utils import bls_host as bls
+from ..utils import fiat_shamir as fs
+from . import cosets
+
+FR = F.FR
+
+
+class FK20Verifier:
+    def __init__(
+        self,
+        g1s: list,
+        g2s: list,
+        coset_size: int,
+        num_coefficients: int,
+        num_points_to_open: int,
+        num_cosets: int,
+    ):
+        assert num_cosets * coset_size == num_points_to_open
+        assert len(g2s) > coset_size, "need more G2 points than the coset size"
+        self.g1s = g1s
+        self.g2s = g2s
+        self.coset_size = coset_size
+        self.num_coefficients = num_coefficients
+        self.num_cosets = num_cosets
+        self.coset_domain = ntt.domain(coset_size)
+        # bit-reversed coset generators, their n-th powers, and the device-side
+        # inverse-power scale tables for the per-coset IFFTs (verifier.rs:57-108)
+        self.coset_gens = cosets.coset_gens(num_points_to_open, num_cosets, True)
+        self.coset_gens_pow_n = [
+            pow(g, coset_size, R_SCALAR) for g in self.coset_gens
+        ]
+        scale = np.empty((num_cosets, coset_size), dtype=object)
+        for k, g in enumerate(self.coset_gens):
+            ginv = pow(g, R_SCALAR - 2, R_SCALAR)
+            acc = 1
+            for j in range(coset_size):
+                scale[k, j] = acc
+                acc = acc * ginv % R_SCALAR
+        flat = [int(x) for x in scale.reshape(-1)]
+        self._coset_scale = jnp.asarray(FR.to_mont_host(flat)).reshape(
+            FR.nlimbs, num_cosets, coset_size
+        )
+        self.tau_pow_n_g2 = g2s[coset_size]
+
+    def verify(
+        self,
+        dedup_commitments: list,  # host affine points
+        commitment_indices: list[int],
+        coset_indices: list[int],
+        coset_evals_std: np.ndarray,  # [K, coset_size, L] standard-form limbs
+        proofs: list,  # host affine points
+        r: int,  # Fiat-Shamir challenge (computed by the caller over raw bytes)
+    ) -> None:
+        batch = len(coset_indices)
+        assert batch == len(commitment_indices) == len(proofs)
+        r_powers = fs.compute_powers(r, batch)
+
+        # Pad the batch to a power of two with identity points / zero scalars:
+        # keeps the number of distinct compiled shapes logarithmic in the
+        # supported batch sizes (contributions of padded lanes are zero).
+        padded = 1 << max(batch - 1, 0).bit_length()
+        pad = padded - batch
+        proofs = list(proofs) + [None] * pad
+        coset_indices = list(coset_indices) + [0] * pad
+        r_powers = r_powers + [0] * pad
+        coset_evals_std = np.concatenate(
+            [
+                np.asarray(coset_evals_std),
+                np.zeros((pad,) + np.asarray(coset_evals_std).shape[1:], dtype=np.asarray(coset_evals_std).dtype),
+            ],
+            axis=0,
+        )
+        commitment_indices = list(commitment_indices) + [0] * pad
+        batch = padded
+
+        # 1. random linear combination of the proofs
+        dproofs = C.points_to_device(proofs)
+        r_mont = jnp.asarray(FR.to_mont_host(r_powers))
+        sum_proofs = M.lincomb(dproofs, r_mont)
+
+        # 2. weighted combination: weights r_i * h_k^n
+        weighted = [
+            rp * self.coset_gens_pow_n[ci] % R_SCALAR
+            for rp, ci in zip(r_powers, coset_indices)
+        ]
+        weighted_sum_proofs = M.lincomb(
+            dproofs, jnp.asarray(FR.to_mont_host(weighted))
+        )
+
+        # 3. commitments with per-commitment accumulated weights (dedup trick,
+        #    verifier.rs:203-225)
+        weights = [0] * len(dedup_commitments)
+        for ci, rp in zip(commitment_indices, r_powers):
+            weights[ci] = (weights[ci] + rp) % R_SCALAR
+        sum_commitments = M.lincomb(
+            C.points_to_device(dedup_commitments),
+            jnp.asarray(FR.to_mont_host(weights)),
+        )
+
+        # 4. random linear combination of the interpolation polynomials:
+        #    per coset, un-bit-reverse, coset-IFFT, scale by r_i; all K at once
+        # [K, coset, L] standard-form limbs -> [L, K, coset] Montgomery
+        evals = jnp.asarray(np.moveaxis(np.asarray(coset_evals_std), -1, 0))
+        evals = F.to_mont(FR, evals)
+        evals = ntt.bit_reverse_permutation(evals, axis=-1)
+        interp = self.coset_domain.ifft(evals)  # [L, K, coset]
+        scale_rows = jnp.take(
+            self._coset_scale, jnp.asarray(coset_indices), axis=1
+        )  # [L, K, coset]
+        interp = F.mont_mul(FR, interp, scale_rows)
+        interp = F.mont_mul(FR, interp, r_mont[:, :, None])
+        sum_interp_poly = interp  # summed below via matrix-free reduce
+        # sum over K cosets (values < 2p each; reduce with carries via add chain)
+        poly = sum_interp_poly[:, 0]
+        for k in range(1, batch):
+            poly = F.add(FR, poly, sum_interp_poly[:, k])
+
+        # 5. commit to the interpolation polynomial with the verifier SRS
+        comm_interp = M.lincomb(
+            C.points_to_device(self.g1s[: self.coset_size]), poly
+        )
+
+        # 6. closing pairing check (verifier.rs:227-260)
+        sp, wsp, sc, cip = (
+            C.points_from_device(p)[0]
+            for p in (sum_proofs, weighted_sum_proofs, sum_commitments, comm_interp)
+        )
+        pairing_input = bls.g1_add(bls.g1_add(sc, bls.g1_neg(cip)), wsp)
+        ok = bls.multi_pairings(
+            [(sp, self.tau_pow_n_g2), (pairing_input, bls.g2_neg(bls.G2_GEN))]
+        )
+        if not ok:
+            raise InvalidProofError("cell proof batch failed the pairing check")

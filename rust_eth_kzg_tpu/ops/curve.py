@@ -175,24 +175,30 @@ def equal(p: G1, q: G1) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnums=1)
 def reduce_sum(p: G1, axis: int = 1) -> G1:
-    """Sum of points along one batch axis by log-depth pairwise addition."""
-    arrs = [jnp.moveaxis(c, axis, 1) for c in p]
+    """Sum of points along one batch axis by log-depth pairwise addition.
+
+    Runs as a scan over log2(n) halving levels with a single compiled body
+    (full-width roll + add; lanes beyond the live half are ignored), keeping
+    the program size flat in n.
+    """
+    arrs = [jnp.moveaxis(c, axis, -1) for c in p]
     p = G1(*arrs)
-    n = p.x.shape[1]
-    while n > 1:
-        half = n // 2
-        even = G1(*(c[:, : 2 * half : 2] for c in p))
-        odd = G1(*(c[:, 1 : 2 * half : 2] for c in p))
-        merged = add(even, odd)
-        if n % 2:
-            tail = G1(*(c[:, -1:] for c in p))
-            merged = G1(
-                *(jnp.concatenate([m, t], axis=1) for m, t in zip(merged, tail))
-            )
-        p = merged
-        n = p.x.shape[1]
-    out = G1(*(c[:, 0] for c in p))
-    return out
+    n = p.x.shape[-1]
+    pow2 = 1 << max(n - 1, 0).bit_length()
+    if pow2 != n:
+        idp = identity(p.batch_shape[:-1] + (pow2 - n,))
+        p = G1(*(jnp.concatenate([c, i], axis=-1) for c, i in zip(p, idp)))
+        n = pow2
+    if n == 1:
+        return G1(*(c[..., 0] for c in p))
+    shifts = jnp.asarray([n >> (level + 1) for level in range(n.bit_length() - 1)])
+
+    def level(p, shift):
+        rolled = G1(*(jnp.roll(c, -shift, axis=-1) for c in p))
+        return add(p, rolled), None
+
+    p, _ = jax.lax.scan(level, p, shifts)
+    return G1(*(c[..., 0] for c in p))
 
 
 @jax.jit

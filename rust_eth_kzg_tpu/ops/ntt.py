@@ -2,15 +2,18 @@
 
 TPU-native rebuild of the reference's Domain/FFT layer
 (/root/reference/crates/cryptography/polynomial/src/{domain.rs:40-224,fft.rs:46-177}).
-Instead of an in-place scalar butterfly loop with thread-chunk parallelism, each
-stage is one fused vector step over the whole (batched) array: a gather for the
-bit-reversal, then log2(n) stages of `a +/- w*b` on `[L, B, n]` limb arrays.
-The semantic contract matches the reference exactly: `fft` evaluates a
-coefficient vector at the domain's roots of unity in natural order
-[f(w^0), f(w^1), ...]; `ifft` inverts it.
+Instead of an in-place scalar butterfly loop with thread-chunk parallelism, the
+transform runs as a `lax.scan` over stages of a *uniform butterfly*: every
+stage is `out[i] = x[a_i] +/- w_i * x[b_i]` with precomputed per-stage index
+vectors, twiddles, and sign masks. One compiled stage body serves all log2(n)
+stages — compile time stays flat in n, and each stage is one fused vector step
+over the whole batched array.
 
-All twiddle tables are precomputed on the host in Montgomery form and closed
-over as constants, so a Domain's transforms trace into single XLA programs.
+Semantics match the reference exactly: `fft` evaluates a coefficient vector at
+the domain's roots of unity in natural order [f(w^0), f(w^1), ...]; `ifft`
+inverts it; coset variants scale by generator powers; `fft_g1`/`ifft_g1` run
+the same schedule over curve points (the twiddle multiply becomes a batched
+double-and-add over static twiddle bit tables).
 """
 
 from __future__ import annotations
@@ -52,6 +55,34 @@ def domain(size: int) -> "Domain":
     return Domain(size)
 
 
+def _stage_schedule(size: int, gen: int):
+    """Uniform butterfly schedule for all stages.
+
+    Returns (idx_a [S,n], idx_b [S,n], upper [S,n], tw_ints [S,n]):
+    stage s has blocks of 2h (h = 2^s); position i reads a = x[idx_a], b =
+    x[idx_b] and writes a + w*b (lower half) or a - w*b (upper half), with
+    w = w_{2h}^(i mod h).
+    """
+    log_n = size.bit_length() - 1
+    idx_a = np.zeros((log_n, size), dtype=np.int64)
+    idx_b = np.zeros((log_n, size), dtype=np.int64)
+    upper = np.zeros((log_n, size), dtype=bool)
+    tw = np.zeros((log_n, size), dtype=object)
+    i = np.arange(size)
+    for s in range(log_n):
+        h = 1 << s
+        pos = i & (2 * h - 1)
+        is_up = pos >= h
+        base = i - np.where(is_up, h, 0)
+        idx_a[s] = base
+        idx_b[s] = base + h
+        upper[s] = is_up
+        step = pow(gen, size >> (s + 1), R_SCALAR)
+        pows = [pow(step, int(p % h), R_SCALAR) for p in pos]
+        tw[s] = np.array(pows, dtype=object)
+    return idx_a, idx_b, upper, tw
+
+
 class Domain:
     """Roots-of-unity domain of power-of-two size over Fr."""
 
@@ -69,48 +100,52 @@ class Domain:
         for i in range(1, size):
             self.roots[i] = self.roots[i - 1] * self.generator % R_SCALAR
 
-        # per-stage twiddle tables w_m^j, j < 2^s for stage s (Montgomery [L, half])
-        def stage_twiddles(gen):
-            tables = []
-            for s in range(log_size):
-                half = 1 << s
-                step = pow(gen, size >> (s + 1), R_SCALAR)
-                tw = [pow(step, j, R_SCALAR) for j in range(half)]
-                tables.append(np.asarray(FR.to_mont_host(tw)))
-            return tables
-
-        self._fwd_twiddles = stage_twiddles(self.generator)
-        self._inv_twiddles = stage_twiddles(self.generator_inv)
+        self._sched = {}
+        for tag, gen in (("fwd", self.generator), ("inv", self.generator_inv)):
+            idx_a, idx_b, upper, tw = _stage_schedule(size, gen)
+            tw_mont = np.stack(
+                [FR.to_mont_host(list(row)) for row in tw], axis=0
+            )  # [S, L, n]
+            self._sched[tag] = (
+                jnp.asarray(idx_a),
+                jnp.asarray(idx_b),
+                jnp.asarray(upper),
+                jnp.asarray(tw_mont),
+            )
         self._size_inv_mont = np.asarray(FR.to_mont_host([self.size_inv]))[:, 0]
+        self._g1_bits = {}
 
     # --- scalar transforms: x is [L, B, n] (or [L, n]) Montgomery limbs ---
 
-    def _dit(self, x, tables):
+    def _dit(self, x, tag):
         squeeze = x.ndim == 2
         if squeeze:
             x = x[:, None, :]
         nl, b, n = x.shape
-        assert n == self.size
+        assert n == self.size, f"expected size {self.size}, got {n}"
         x = bit_reverse_permutation(x, axis=-1)
-        for s in range(self.log_size):
-            half = 1 << s
-            m = half * 2
-            x = x.reshape(nl, b, n // m, m)
-            a, t = x[..., :half], x[..., half:]
-            tw = jnp.asarray(tables[s]).reshape(nl, 1, 1, half)
-            t = F.mont_mul(FR, t, tw)
-            x = jnp.concatenate([F.add(FR, a, t), F.sub(FR, a, t, 4)], axis=-1)
-            x = x.reshape(nl, b, n)
+        idx_a, idx_b, upper, tw = self._sched[tag]
+
+        def stage(x, args):
+            ia, ib, up, w = args
+            a = jnp.take(x, ia, axis=-1)
+            bb = jnp.take(x, ib, axis=-1)
+            t = F.mont_mul(FR, bb, w[:, None, :])
+            plus = F.add(FR, a, t)
+            minus = F.sub(FR, a, t, 2)
+            return jnp.where(up[None, None, :], minus, plus), None
+
+        x, _ = jax.lax.scan(stage, x, (idx_a, idx_b, upper, tw))
         return x[:, 0, :] if squeeze else x
 
     @partial(jax.jit, static_argnums=0)
     def fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
-        """Evaluate at the domain roots (natural order). Input padded by caller."""
-        return self._dit(coeffs, self._fwd_twiddles)
+        """Evaluate at the domain roots (natural order). Caller pads input."""
+        return self._dit(coeffs, "fwd")
 
     @partial(jax.jit, static_argnums=0)
     def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
-        out = self._dit(evals, self._inv_twiddles)
+        out = self._dit(evals, "inv")
         scale = FR.broadcast_const(self._size_inv_mont, out.shape[1:])
         return F.mont_mul(FR, out, scale)
 
@@ -120,7 +155,7 @@ class Domain:
             pw[i] = pw[i - 1] * gen_int % R_SCALAR
         return np.asarray(FR.to_mont_host(pw))
 
-    @partial(jax.jit, static_argnums=(0, 2))
+    @partial(jax.jit, static_argnums=(0, 2), static_argnames=("coset_gen",))
     def coset_fft(self, coeffs: jnp.ndarray, coset_gen: int) -> jnp.ndarray:
         """FFT over the coset g*H: scale coefficient k by g^k, then FFT.
 
@@ -131,7 +166,7 @@ class Domain:
         scale = scale.reshape((FR.nlimbs,) + (1,) * (coeffs.ndim - 2) + (self.size,))
         return self.fft(F.mont_mul(FR, coeffs, scale))
 
-    @partial(jax.jit, static_argnums=(0, 2))
+    @partial(jax.jit, static_argnums=(0, 2), static_argnames=("coset_gen",))
     def coset_ifft(self, evals: jnp.ndarray, coset_gen: int) -> jnp.ndarray:
         gen_inv = pow(coset_gen, R_SCALAR - 2, R_SCALAR)
         out = self.ifft(evals)
@@ -141,41 +176,39 @@ class Domain:
 
     # --- G1 group transforms: p is a curve.G1 with batch shape [B, n] ---
 
-    def _twiddle_bits(self, gen: int):
-        """Static MSB-first bit tables per stage for the group butterflies."""
-        tables = []
-        for s in range(self.log_size):
-            half = 1 << s
-            step = pow(gen, self.size >> (s + 1), R_SCALAR)
-            tw = [pow(step, j, R_SCALAR) for j in range(half)]
-            bits = np.zeros((255, half), dtype=bool)
-            for j, w in enumerate(tw):
-                for t in range(255):
-                    bits[t, j] = (w >> (254 - t)) & 1
-            tables.append(bits)
-        return tables
+    def _g1_twiddle_bits(self, tag: str, gen: int) -> np.ndarray:
+        """[S, 255, n] static MSB-first twiddle bit tables (cached as numpy —
+        the jnp conversion must happen per-trace to avoid leaking tracers)."""
+        if tag not in self._g1_bits:
+            _, _, _, tw = _stage_schedule(self.size, gen)
+            s, n = tw.shape
+            bits = np.zeros((s, 255, n), dtype=bool)
+            for st in range(s):
+                for j in range(n):
+                    w = int(tw[st, j])
+                    for t in range(255):
+                        bits[st, t, j] = (w >> (254 - t)) & 1
+            self._g1_bits[tag] = bits
+        return self._g1_bits[tag]
 
-    def _dit_g1(self, p: C.G1, bit_tables) -> C.G1:
+    def _dit_g1(self, p: C.G1, tag: str, gen: int) -> C.G1:
         b, n = p.batch_shape
         assert n == self.size
         p = C.G1(*(bit_reverse_permutation(c, axis=-1) for c in p))
-        for s in range(self.log_size):
-            half = 1 << s
-            m = half * 2
-            p = C.G1(*(c.reshape(-1, b, n // m, m) for c in p))
-            a = C.G1(*(c[..., :half] for c in p))
-            t = C.G1(*(c[..., half:] for c in p))
-            bits = jnp.asarray(bit_tables[s])[:, None, None, :]
-            bits = jnp.broadcast_to(bits, (255, b, n // m, half))
-            wt = C.scalar_mul(t, bits)
-            lo = C.add(a, wt)
-            hi = C.add(a, C.neg(wt))
-            p = C.G1(
-                *(
-                    jnp.concatenate([l, h], axis=-1).reshape(-1, b, n)
-                    for l, h in zip(lo, hi)
-                )
-            )
+        idx_a, idx_b, upper, _ = self._sched[tag]
+        bits = jnp.asarray(self._g1_twiddle_bits(tag, gen))
+
+        def stage(p, args):
+            ia, ib, up, wbits = args
+            a = C.G1(*(jnp.take(c, ia, axis=-1) for c in p))
+            t = C.G1(*(jnp.take(c, ib, axis=-1) for c in p))
+            wbc = jnp.broadcast_to(wbits[:, None, :], (255, b, n))
+            wt = C.scalar_mul(t, wbc)
+            plus = C.add(a, wt)
+            minus = C.add(a, C.neg(wt))
+            return C.select(up, minus, plus), None
+
+        p, _ = jax.lax.scan(stage, p, (idx_a, idx_b, upper, bits))
         return p
 
     @partial(jax.jit, static_argnums=0)
@@ -187,19 +220,15 @@ class Domain:
         the butterfly's twiddle scalar-muls are batched across every block of a
         stage so all lanes advance through one shared double-and-add schedule.
         """
-        if not hasattr(self, "_fwd_bits"):
-            self._fwd_bits = self._twiddle_bits(self.generator)
-        return self._dit_g1(p, self._fwd_bits)
+        return self._dit_g1(p, "fwd", self.generator)
 
-    @partial(jax.jit, static_argnums=(0, 2))
+    @partial(jax.jit, static_argnums=(0, 2), static_argnames=("take_n",))
     def ifft_g1(self, p: C.G1, take_n: int | None = None) -> C.G1:
         """Inverse group FFT, optionally truncated before the 1/n scaling.
 
         Matches Domain::ifft_g1_take_n (domain.rs:172-194).
         """
-        if not hasattr(self, "_inv_bits"):
-            self._inv_bits = self._twiddle_bits(self.generator_inv)
-        out = self._dit_g1(p, self._inv_bits)
+        out = self._dit_g1(p, "inv", self.generator_inv)
         if take_n is not None:
             out = C.G1(*(c[..., :take_n] for c in out))
         ninv_bits = np.zeros((255, 1, 1), dtype=bool)

@@ -6,7 +6,14 @@ Multi-chip hardware is not available in CI; sharding tests use
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Keep the accelerator (axon TPU) as the default compute backend when present,
+# but always expose a CPU backend so sharding tests can build the virtual
+# 8-device mesh via jax.devices("cpu").
+_platforms = os.environ.get("JAX_PLATFORMS", "")
+if _platforms and "cpu" not in _platforms:
+    os.environ["JAX_PLATFORMS"] = _platforms + ",cpu"
+else:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
