@@ -146,8 +146,8 @@ class Context4844:
                 f"{len(blobs)} blobs, {len(commitments)} commitments, "
                 f"{len(proofs)} proofs"
             )
-        cs = [ser.deserialize_g1(c) for c in commitments]
-        pfs = [ser.deserialize_g1(p) for p in proofs]
+        cs = ser.deserialize_g1_batch(list(commitments))
+        pfs = ser.deserialize_g1_batch(list(proofs))
         zs, ys = [], []
         for blob, commitment in zip(blobs, commitments):
             z, y = self._blob_challenge_eval(blob, commitment)
@@ -346,8 +346,8 @@ class DASContext:
         if not cells:
             return
 
-        dedup_points = [ser.deserialize_g1(c) for c in unique]
-        proof_points = [ser.deserialize_g1(p) for p in proofs_bytes]
+        dedup_points = ser.deserialize_g1_batch(unique)
+        proof_points = ser.deserialize_g1_batch(proofs_bytes)
         cell_limbs = np.stack(
             [ser.deserialize_cell(c).T for c in cells], axis=0
         )  # [K, coset, L]

@@ -19,6 +19,7 @@ from ..ops import limbs as L
 from ..ops import msm as M
 from ..ops import ntt
 from ..utils import bls_host as bls
+from ..utils import native
 from ..utils import fiat_shamir as fs
 from . import cosets
 
@@ -146,7 +147,7 @@ class FK20Verifier:
             for p in (sum_proofs, weighted_sum_proofs, sum_commitments, comm_interp)
         )
         pairing_input = bls.g1_add(bls.g1_add(sc, bls.g1_neg(cip)), wsp)
-        ok = bls.multi_pairings(
+        ok = native.multi_pairings(
             [(sp, self.tau_pow_n_g2), (pairing_input, bls.g2_neg(bls.G2_GEN))]
         )
         if not ok:

@@ -19,6 +19,7 @@ from ..ops import field as F
 from ..ops import msm as M
 from ..ops import poly as POLY
 from ..utils import bls_host as bls
+from ..utils import native
 
 FR = F.FR
 
@@ -72,7 +73,7 @@ class SingleOpenVerifier:
         """e(C - [y]_1, -[1]_2) * e(pi, [tau - z]_2) == 1 or raise."""
         lhs_g1 = bls.g1_add(commitment, bls.g1_neg(bls.g1_mul(self.gen_g1, y)))
         rhs_g2 = bls.g2_add(self.tau_g2, bls.g2_neg(bls.g2_mul(self.gen_g2, z)))
-        ok = bls.multi_pairings(
+        ok = native.multi_pairings(
             [(lhs_g1, bls.g2_neg(self.gen_g2)), (proof, rhs_g2)]
         )
         if not ok:
@@ -94,7 +95,7 @@ class SingleOpenVerifier:
         )
         lhs_g1 = _device_msm(points, scalars)
         rhs_g1 = _device_msm(list(proofs), list(r_powers))
-        ok = bls.multi_pairings(
+        ok = native.multi_pairings(
             [(lhs_g1, bls.g2_neg(self.gen_g2)), (rhs_g1, self.tau_g2)]
         )
         if not ok:

@@ -22,6 +22,7 @@ from ..errors import SerializationError
 from ..ops import field as F
 from ..ops import limbs as L
 from . import bls_host as bls
+from . import native
 
 FR = F.FR
 
@@ -105,10 +106,23 @@ def deserialize_g1(data: bytes, subgroup_check: bool = True):
             f"G1 point has invalid length {len(data)}, expected {BYTES_PER_G1_POINT}"
         )
     try:
-        return bls.g1_decompress(bytes(data), subgroup_check=subgroup_check)
+        return native.g1_decompress(bytes(data), subgroup_check=subgroup_check)
     except ValueError as exc:
         raise SerializationError(str(exc)) from exc
 
 
 def serialize_g1(point) -> bytes:
     return bls.g1_compress(point)
+
+
+def deserialize_g1_batch(points: list[bytes], subgroup_check: bool = True):
+    """Batch decompression through the native library (verify hot path)."""
+    for i, p in enumerate(points):
+        if len(p) != BYTES_PER_G1_POINT:
+            raise SerializationError(
+                f"G1 point {i} has invalid length {len(p)}, expected {BYTES_PER_G1_POINT}"
+            )
+    try:
+        return native.g1_decompress_batch([bytes(p) for p in points], subgroup_check)
+    except ValueError as exc:
+        raise SerializationError(str(exc)) from exc
