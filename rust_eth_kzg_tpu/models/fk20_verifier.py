@@ -97,25 +97,22 @@ class FK20Verifier:
         # 1. random linear combination of the proofs
         dproofs = C.points_to_device(proofs)
         r_mont = jnp.asarray(FR.to_mont_host(r_powers))
-        sum_proofs = M.lincomb(dproofs, r_mont)
+        sum_proofs = M.lincomb_host(dproofs, r_powers)
 
         # 2. weighted combination: weights r_i * h_k^n
         weighted = [
             rp * self.coset_gens_pow_n[ci] % R_SCALAR
             for rp, ci in zip(r_powers, coset_indices)
         ]
-        weighted_sum_proofs = M.lincomb(
-            dproofs, jnp.asarray(FR.to_mont_host(weighted))
-        )
+        weighted_sum_proofs = M.lincomb_host(dproofs, weighted)
 
         # 3. commitments with per-commitment accumulated weights (dedup trick,
         #    verifier.rs:203-225)
         weights = [0] * len(dedup_commitments)
         for ci, rp in zip(commitment_indices, r_powers):
             weights[ci] = (weights[ci] + rp) % R_SCALAR
-        sum_commitments = M.lincomb(
-            C.points_to_device(dedup_commitments),
-            jnp.asarray(FR.to_mont_host(weights)),
+        sum_commitments = M.lincomb_host(
+            C.points_to_device(dedup_commitments), weights
         )
 
         # 4. random linear combination of the interpolation polynomials:

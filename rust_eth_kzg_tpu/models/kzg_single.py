@@ -105,5 +105,4 @@ class SingleOpenVerifier:
 def _device_msm(points: list, scalars: list[int]):
     """Variable-base MSM for host point lists: runs on device, returns host."""
     dp = C.points_to_device(points)
-    sm = jnp.asarray(FR.to_mont_host(scalars))
-    return C.points_from_device(M.lincomb(dp, sm))[0]
+    return C.points_from_device(M.lincomb_host(dp, scalars))[0]

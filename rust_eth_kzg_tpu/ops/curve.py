@@ -201,6 +201,84 @@ def reduce_sum(p: G1, axis: int = 1) -> G1:
     return G1(*(c[..., 0] for c in p))
 
 
+# --- GLV endomorphism: phi(x, y) = (beta*x, y) acts as multiplication by
+# lambda = z^2 - 1 (z the BLS parameter); scalars split into two ~128-bit
+# halves so scalar multiplication needs half the doublings. ---
+
+GLV_LAMBDA = 0xAC45A4010001A40200000000FFFFFFFF
+_GLV_BETA = 0x1A0111EA397FE699EC02408663D4DE85AA0D857D89759AD4897D29650FB85F9B409427EB4F49FFFD8BFD00000000AAAC
+_GLV_BETA_MONT = limb_utils.int_to_limbs(_GLV_BETA * FP.r_mod_p % P, FP_LIMBS)
+_GLV_Z2 = 0xD201000000010000 ** 2
+GLV_NBITS = 130
+
+
+def glv_decompose(k: int):
+    """k -> (|k1|, k1<0, |k2|, k2<0) with k = k1 + k2*lambda (mod r),
+    |ki| < 2^129 (Babai rounding against the lattice basis
+    v1 = (lambda, -1), v2 = (1, z^2))."""
+    from ..constants import R_SCALAR
+
+    k %= R_SCALAR
+    c1 = (k * _GLV_Z2 + R_SCALAR // 2) // R_SCALAR
+    c2 = (k + R_SCALAR // 2) // R_SCALAR
+    k1 = k - c1 * GLV_LAMBDA - c2
+    k2 = c1 - c2 * _GLV_Z2
+    assert (k1 + k2 * GLV_LAMBDA) % R_SCALAR == k
+    assert abs(k1) < (1 << (GLV_NBITS - 1)) and abs(k2) < (1 << (GLV_NBITS - 1))
+    return abs(k1), k1 < 0, abs(k2), k2 < 0
+
+
+def glv_bits_host(scalars: list[int]):
+    """Host ints -> (bits1 [GLV_NBITS, N], neg1 [N], bits2, neg2) numpy arrays
+    (MSB-first bits)."""
+    n = len(scalars)
+    bits1 = np.zeros((GLV_NBITS, n), dtype=bool)
+    bits2 = np.zeros((GLV_NBITS, n), dtype=bool)
+    neg1 = np.zeros(n, dtype=bool)
+    neg2 = np.zeros(n, dtype=bool)
+    for i, k in enumerate(scalars):
+        a1, n1, a2, n2 = glv_decompose(int(k))
+        neg1[i], neg2[i] = n1, n2
+        for t in range(GLV_NBITS):
+            bits1[t, i] = (a1 >> (GLV_NBITS - 1 - t)) & 1
+            bits2[t, i] = (a2 >> (GLV_NBITS - 1 - t)) & 1
+    return bits1, neg1, bits2, neg2
+
+
+@jax.jit
+def glv_endomorphism(p: G1) -> G1:
+    return G1(x=F.mont_mul_const(FP, p.x, _GLV_BETA_MONT), y=p.y, z=p.z)
+
+
+@jax.jit
+def scalar_mul_glv(
+    p: G1,
+    bits1: jnp.ndarray,
+    neg1: jnp.ndarray,
+    bits2: jnp.ndarray,
+    neg2: jnp.ndarray,
+) -> G1:
+    """k*p via the GLV split: one shared double-and-add over ~129 bits with a
+    4-entry on-the-fly table {O, P1, P2, P1+P2}.
+
+    bits*: [GLV_NBITS, *batch] MSB-first; neg*: [*batch].
+    """
+    p1 = select(neg1, neg(p), p)
+    phi = glv_endomorphism(p)
+    p2 = select(neg2, neg(phi), phi)
+    p12 = add(p1, p2)
+    ident = identity(p.batch_shape)
+
+    def step(acc, bb):
+        b1, b2 = bb
+        acc = double(acc)
+        t = select(b2, select(b1, p12, p2), select(b1, p1, ident))
+        return add(acc, t), None
+
+    acc, _ = jax.lax.scan(step, ident, (bits1, bits2))
+    return acc
+
+
 @jax.jit
 def scalar_mul(p: G1, scalar_bits: jnp.ndarray) -> G1:
     """Double-and-add: scalar_bits is [nbits, *batch] (MSB first), p is [*batch].

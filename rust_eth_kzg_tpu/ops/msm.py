@@ -205,6 +205,16 @@ def fixed_base_msm(tables: FixedBaseMSM, scalars_mont: jnp.ndarray) -> C.G1:
     return acc
 
 
+def lincomb_host(points: C.G1, scalars: list[int]) -> C.G1:
+    """Variable-base MSM where the scalars are host integers (verifier paths):
+    GLV-split double-and-add (half the depth of the generic `lincomb`)."""
+    b1, n1, b2, n2 = C.glv_bits_host([int(s) for s in scalars])
+    per_point = C.scalar_mul_glv(
+        points, jnp.asarray(b1), jnp.asarray(n1), jnp.asarray(b2), jnp.asarray(n2)
+    )
+    return C.reduce_sum(per_point, axis=per_point.x.ndim - 1)
+
+
 @jax.jit
 def lincomb(points: C.G1, scalars_mont: jnp.ndarray) -> C.G1:
     """Variable-base MSM sum_i k_i * P_i over the last batch axis.

@@ -176,19 +176,27 @@ class Domain:
 
     # --- G1 group transforms: p is a curve.G1 with batch shape [B, n] ---
 
-    def _g1_twiddle_bits(self, tag: str, gen: int) -> np.ndarray:
-        """[S, 255, n] static MSB-first twiddle bit tables (cached as numpy —
-        the jnp conversion must happen per-trace to avoid leaking tracers)."""
+    def _g1_twiddle_bits(self, tag: str, gen: int):
+        """Static per-stage GLV-split twiddle tables (cached as numpy —
+        the jnp conversion must happen per-trace to avoid leaking tracers).
+
+        Returns (bits1 [S, NB, n], neg1 [S, n], bits2, neg2): the twiddle
+        scalar-muls inside the group butterflies run over two ~129-bit GLV
+        halves instead of 255 bits, halving the doubling chain.
+        """
         if tag not in self._g1_bits:
             _, _, _, tw = _stage_schedule(self.size, gen)
             s, n = tw.shape
-            bits = np.zeros((s, 255, n), dtype=bool)
+            nb = C.GLV_NBITS
+            bits1 = np.zeros((s, nb, n), dtype=bool)
+            bits2 = np.zeros((s, nb, n), dtype=bool)
+            neg1 = np.zeros((s, n), dtype=bool)
+            neg2 = np.zeros((s, n), dtype=bool)
             for st in range(s):
-                for j in range(n):
-                    w = int(tw[st, j])
-                    for t in range(255):
-                        bits[st, t, j] = (w >> (254 - t)) & 1
-            self._g1_bits[tag] = bits
+                b1, n1, b2, n2 = C.glv_bits_host([int(w) for w in tw[st]])
+                bits1[st], bits2[st] = b1, b2
+                neg1[st], neg2[st] = n1, n2
+            self._g1_bits[tag] = (bits1, neg1, bits2, neg2)
         return self._g1_bits[tag]
 
     def _dit_g1(self, p: C.G1, tag: str, gen: int) -> C.G1:
@@ -196,19 +204,29 @@ class Domain:
         assert n == self.size
         p = C.G1(*(bit_reverse_permutation(c, axis=-1) for c in p))
         idx_a, idx_b, upper, _ = self._sched[tag]
-        bits = jnp.asarray(self._g1_twiddle_bits(tag, gen))
+        bits1, neg1, bits2, neg2 = (
+            jnp.asarray(t) for t in self._g1_twiddle_bits(tag, gen)
+        )
 
         def stage(p, args):
-            ia, ib, up, wbits = args
+            ia, ib, up, b1, n1, b2, n2 = args
             a = C.G1(*(jnp.take(c, ia, axis=-1) for c in p))
             t = C.G1(*(jnp.take(c, ib, axis=-1) for c in p))
-            wbc = jnp.broadcast_to(wbits[:, None, :], (255, b, n))
-            wt = C.scalar_mul(t, wbc)
+            bshape = (C.GLV_NBITS, b, n)
+            wt = C.scalar_mul_glv(
+                t,
+                jnp.broadcast_to(b1[:, None, :], bshape),
+                jnp.broadcast_to(n1[None, :], (b, n)),
+                jnp.broadcast_to(b2[:, None, :], bshape),
+                jnp.broadcast_to(n2[None, :], (b, n)),
+            )
             plus = C.add(a, wt)
             minus = C.add(a, C.neg(wt))
             return C.select(up, minus, plus), None
 
-        p, _ = jax.lax.scan(stage, p, (idx_a, idx_b, upper, bits))
+        p, _ = jax.lax.scan(
+            stage, p, (idx_a, idx_b, upper, bits1, neg1, bits2, neg2)
+        )
         return p
 
     @partial(jax.jit, static_argnums=0)
@@ -231,10 +249,12 @@ class Domain:
         out = self._dit_g1(p, "inv", self.generator_inv)
         if take_n is not None:
             out = C.G1(*(c[..., :take_n] for c in out))
-        ninv_bits = np.zeros((255, 1, 1), dtype=bool)
-        for t in range(255):
-            ninv_bits[t, 0, 0] = (self.size_inv >> (254 - t)) & 1
-        bits = jnp.broadcast_to(
-            jnp.asarray(ninv_bits), (255,) + tuple(out.batch_shape)
+        b1, n1, b2, n2 = C.glv_bits_host([self.size_inv])
+        shape = (C.GLV_NBITS,) + tuple(out.batch_shape)
+        return C.scalar_mul_glv(
+            out,
+            jnp.broadcast_to(jnp.asarray(b1)[:, :1, None], shape),
+            jnp.broadcast_to(jnp.asarray(n1), out.batch_shape),
+            jnp.broadcast_to(jnp.asarray(b2)[:, :1, None], shape),
+            jnp.broadcast_to(jnp.asarray(n2), out.batch_shape),
         )
-        return C.scalar_mul(out, bits)

@@ -84,3 +84,21 @@ def test_equal_and_identity():
     d2 = C.double(dp)
     aff = C.points_to_device([B.g1_double(p) for p in ps])
     assert np.asarray(C.equal(d2, aff)).all()
+
+
+def test_glv_scalar_mul():
+    import jax.numpy as jnp
+
+    n = 5
+    ps = rand_points(n)
+    ps[0] = None
+    ks = [0, 1, R_SCALAR - 1, C.GLV_LAMBDA, random.randrange(R_SCALAR)]
+    b1, n1, b2, n2 = C.glv_bits_host(ks)
+    got = C.points_from_device(
+        C.scalar_mul_glv(
+            C.points_to_device(ps),
+            jnp.asarray(b1), jnp.asarray(n1), jnp.asarray(b2), jnp.asarray(n2),
+        )
+    )
+    want = [B.g1_mul(p, k) if p else None for p, k in zip(ps, ks)]
+    assert got == want
