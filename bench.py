@@ -12,8 +12,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import jax as _jax
+
+# jax may be pre-imported by the environment; configure the persistent
+# compilation cache programmatically (env vars would be read too late).
+_jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 REFERENCE_BLOBS_PER_S = 25.0
 

@@ -29,7 +29,7 @@ from . import limbs as limb_utils
 
 FP = F.FP
 # b3 = 3*b = 12, premultiplied into Montgomery form, used as a constant multiplier
-_B3_MONT = limb_utils.int_to_limbs(12 * FP.r_mod_p % P, FP_LIMBS)
+B3_MONT = limb_utils.int_to_limbs(12 * FP.r_mod_p % P, FP_LIMBS)
 
 
 class G1(NamedTuple):
@@ -59,27 +59,29 @@ def identity(batch_shape=()) -> G1:
 
 
 def _mul(a, b):
-    return F.mont_mul(FP, a, b)
+    return F.mont_mul_values(FP, a, b)
 
 
 def _mul_b3(a):
-    return F.mont_mul_const(FP, a, _B3_MONT)
+    c = FP.broadcast_const(B3_MONT, a.shape[1:])
+    return F.mont_mul_values(FP, a, c)
 
 
 def _add(a, b):
-    return F.add(FP, a, b)
+    return F.add_values(FP, a, b)
 
 
 def _sub(a, b, kp=2):
-    return F.sub(FP, a, b, kp)
+    return F.sub_values(FP, a, b, kp)
 
 
-@jax.jit
-def add(p: G1, q: G1) -> G1:
+def add_values(p: G1, q: G1) -> G1:
     """Complete projective addition (RCB 2015, Algorithm 7 with a=0, b3 via
     constant Montgomery multiply). Handles identity / doubling / inverse lanes.
 
     Bound discipline: inputs < 4p per coordinate, outputs < 4p.
+    Un-jitted body, shared by the XLA path and the fused Pallas kernel
+    (ops/pallas_kernels.py).
     """
     x1, y1, z1 = p
     x2, y2, z2 = q
@@ -100,8 +102,7 @@ def add(p: G1, q: G1) -> G1:
     return G1(x=x3, y=y3, z=z3)
 
 
-@jax.jit
-def add_mixed(p: G1, q_affine: G1Affine) -> G1:
+def add_mixed_values(p: G1, q_affine: G1Affine) -> G1:
     """Complete mixed addition (RCB Algorithm 8 shape, a=0): q has Z = 1.
 
     Lanes where `q_affine.inf` is set return `p` unchanged (affine form cannot
@@ -126,12 +127,11 @@ def add_mixed(p: G1, q_affine: G1Affine) -> G1:
     return select(q_affine.inf, p, out)
 
 
-@jax.jit
-def double(p: G1) -> G1:
+def double_values(p: G1) -> G1:
     """Complete projective doubling (RCB Algorithm 9, a=0). Bounds < 4p."""
     x, y, z = p
     t0 = _mul(y, y)
-    z3 = F.double(FP, F.double(FP, F.double(FP, t0)))  # 8 y^2, < 16p
+    z3 = F.double_values(FP, F.double_values(FP, F.double_values(FP, t0)))  # 8 y^2, < 16p
     t1 = _mul(y, z)
     t2 = _mul_b3(_mul(z, z))  # 3b z^2, < 2p
     x3 = _mul(t2, z3)  # < 2p
@@ -141,8 +141,40 @@ def double(p: G1) -> G1:
     t0 = _sub(t0, t2_3, kp=8)  # y^2 - 9b z^2 (+8p), < 10p
     y3 = _add(_mul(t0, y3), x3)  # < 4p
     t1 = _mul(x, y)
-    x3 = F.double(FP, _mul(t0, t1))  # < 4p
+    x3 = F.double_values(FP, _mul(t0, t1))  # < 4p
     return G1(x=x3, y=y3, z=z3)
+
+
+# Public jitted entry points. Each dispatches to the fused Pallas kernel when
+# it is enabled for the current backend (ops/pallas_kernels.py), otherwise
+# traces the straight-line jnp body and lets XLA fuse it.
+
+
+@jax.jit
+def add(p: G1, q: G1) -> G1:
+    from . import pallas_kernels as PK
+
+    if PK.enabled():
+        return PK.g1_add(p, q)
+    return add_values(p, q)
+
+
+@jax.jit
+def add_mixed(p: G1, q_affine: G1Affine) -> G1:
+    from . import pallas_kernels as PK
+
+    if PK.enabled():
+        return PK.g1_add_mixed(p, q_affine)
+    return add_mixed_values(p, q_affine)
+
+
+@jax.jit
+def double(p: G1) -> G1:
+    from . import pallas_kernels as PK
+
+    if PK.enabled():
+        return PK.g1_double(p)
+    return double_values(p)
 
 
 @jax.jit

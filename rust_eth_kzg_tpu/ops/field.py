@@ -95,7 +95,7 @@ class FieldSpec:
 
     def broadcast_const(self, const_limbs: np.ndarray, batch_shape) -> jnp.ndarray:
         return jnp.broadcast_to(
-            jnp.asarray(const_limbs).reshape((self.nlimbs,) + (1,) * len(batch_shape)),
+            dev_const(const_limbs).reshape((self.nlimbs,) + (1,) * len(batch_shape)),
             (self.nlimbs,) + tuple(batch_shape),
         )
 
@@ -104,13 +104,59 @@ FR = FieldSpec(modulus=R_SCALAR, nlimbs=FR_LIMBS)
 FP = FieldSpec(modulus=P, nlimbs=FP_LIMBS)
 
 
+# --- device-constant indirection -------------------------------------------
+# Pallas kernels may not close over array constants; while tracing a kernel
+# body, ops/pallas_kernels.py installs a table mapping each field constant
+# (keyed by its bytes) to a kernel input ref value. Outside kernels this is a
+# plain jnp.asarray.
+
+_DEVICE_CONSTS: dict[bytes, jnp.ndarray] | None = None
+
+
+class device_consts:
+    """Context manager installing a {const_bytes: traced value} table."""
+
+    def __init__(self, table: dict[bytes, jnp.ndarray]):
+        self.table = table
+
+    def __enter__(self):
+        global _DEVICE_CONSTS
+        self._prev = _DEVICE_CONSTS
+        _DEVICE_CONSTS = self.table
+
+    def __exit__(self, *exc):
+        global _DEVICE_CONSTS
+        _DEVICE_CONSTS = self._prev
+
+
+def dev_const(arr: np.ndarray) -> jnp.ndarray:
+    arr = np.asarray(arr)
+    if _DEVICE_CONSTS is not None:
+        got = _DEVICE_CONSTS.get(arr.tobytes())
+        if got is not None:
+            return got.reshape(arr.shape)
+    return jnp.asarray(arr)
+
+
 def _carry_sweep(t: jnp.ndarray) -> jnp.ndarray:
     """Full signed carry propagation along the limb axis (axis 0).
 
     Input limbs may be any int32 values (including negatives, e.g. from `sub`);
     output limbs are in [0, 2^15) provided the represented value is >= 0 and
     fits the limb count.
+
+    Inside a Pallas kernel (device_consts installed) the loop is unrolled:
+    Mosaic cannot lower lax.scan with extensive inputs/outputs. The jnp path
+    keeps the scan so XLA graphs stay compact.
     """
+    if _DEVICE_CONSTS is not None:
+        carry = jnp.zeros_like(t[0])
+        rows = []
+        for j in range(t.shape[0]):
+            v = t[j] + carry
+            rows.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(rows)
 
     def step(carry, row):
         v = row + carry
@@ -120,31 +166,69 @@ def _carry_sweep(t: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnums=0)
-def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """value(a) + value(b); no reduction."""
+def add_values(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """value(a) + value(b); no reduction. Un-jitted (Pallas-inlinable) body."""
     return _carry_sweep(a + b)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, kp: int = 2) -> jnp.ndarray:
+def sub_values(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, kp: int = 2) -> jnp.ndarray:
     """value(a) - value(b) + kp*p (kp in {2, 4}); caller must have value(b) < kp*p."""
     const = spec.p2_limbs if kp == 2 else spec.p4_limbs
-    shift = const.reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+    shift = dev_const(const).reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
     return _carry_sweep(a - b + shift)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def neg(spec: FieldSpec, a: jnp.ndarray, kp: int = 2) -> jnp.ndarray:
+def neg_values(spec: FieldSpec, a: jnp.ndarray, kp: int = 2) -> jnp.ndarray:
     """kp*p - value(a)."""
     const = spec.p2_limbs if kp == 2 else spec.p4_limbs
-    shift = const.reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
+    shift = dev_const(const).reshape((spec.nlimbs,) + (1,) * (a.ndim - 1))
     return _carry_sweep(shift - a)
 
 
-@partial(jax.jit, static_argnums=0)
-def double(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+def double_values(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return _carry_sweep(a + a)
+
+
+add = partial(jax.jit, static_argnums=0)(add_values)
+sub = partial(jax.jit, static_argnums=(0, 3))(sub_values)
+neg = partial(jax.jit, static_argnums=(0, 2))(neg_values)
+double = partial(jax.jit, static_argnums=0)(double_values)
+
+
+def mont_mul_values(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Un-jitted CIOS body (trace-time unrolled); shared by the jnp path and
+    the Pallas kernels (ops/pallas_kernels.py), which inline it on VMEM values.
+
+    Formulated with concatenations instead of scatter-adds: Mosaic has no
+    scatter lowering, and the concat form also gives XLA a pure elementwise
+    dataflow.
+    """
+    nl = spec.nlimbs
+    a, b = jnp.broadcast_arrays(a, b)
+    batch_shape = a.shape[1:]
+    # accumulator rows [L+2, *batch]
+    t = jnp.zeros((nl + 2,) + tuple(batch_shape), dtype=jnp.int32)
+    p_row = dev_const(spec.p_limbs).reshape((nl,) + (1,) * len(batch_shape))
+    zero_row = jnp.zeros((1,) + tuple(batch_shape), dtype=jnp.int32)
+
+    def shifted_add(t, prod):
+        # t += lo(prod) + (hi(prod) << one limb), as one concat + one add
+        lo = prod & LIMB_MASK
+        hi = prod >> LIMB_BITS
+        contrib = jnp.concatenate(
+            [lo[:1], lo[1:] + hi[: nl - 1], hi[nl - 1 :], zero_row], axis=0
+        )
+        return t + contrib
+
+    for i in range(nl):
+        t = shifted_add(t, a[i] * b)  # products < 2^30, accum < 2^23
+        m = ((t[0] & LIMB_MASK) * spec.n0inv) & LIMB_MASK
+        t = shifted_add(t, m * p_row)
+        # t[0] is now divisible by 2^15; shift the accumulator down one limb
+        carry0 = t[0] >> LIMB_BITS
+        t = jnp.concatenate([(t[1] + carry0)[None], t[2:], zero_row], axis=0)
+
+    return _carry_sweep(t)[:nl]
 
 
 @partial(jax.jit, static_argnums=0)
@@ -155,30 +239,7 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     normalized limbs; values may be lazily-reduced multiples of p (see module
     docstring for bounds).
     """
-    nl = spec.nlimbs
-    batch_shape = a.shape[1:]
-    a, b = jnp.broadcast_arrays(a, b)
-    # accumulator rows [L+2, *batch]
-    t = jnp.zeros((nl + 2,) + tuple(batch_shape), dtype=jnp.int32)
-    p_row = jnp.asarray(spec.p_limbs).reshape((nl,) + (1,) * len(batch_shape))
-    zero_row = jnp.zeros((1,) + tuple(batch_shape), dtype=jnp.int32)
-
-    for i in range(nl):
-        ai = a[i]
-        prod = ai * b  # [L, *batch], < 2^30
-        lo = prod & LIMB_MASK
-        hi = prod >> LIMB_BITS
-        t = t.at[:nl].add(lo).at[1 : nl + 1].add(hi)
-        m = ((t[0] & LIMB_MASK) * spec.n0inv) & LIMB_MASK
-        prod2 = m * p_row
-        lo2 = prod2 & LIMB_MASK
-        hi2 = prod2 >> LIMB_BITS
-        t = t.at[:nl].add(lo2).at[1 : nl + 1].add(hi2)
-        # t[0] is now divisible by 2^15; shift the whole accumulator down one limb
-        carry0 = t[0] >> LIMB_BITS
-        t = jnp.concatenate([t[1:], zero_row], axis=0).at[0].add(carry0)
-
-    return _carry_sweep(t)[:nl]
+    return mont_mul_values(spec, a, b)
 
 
 def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:

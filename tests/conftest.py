@@ -1,27 +1,34 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration: persistent compile cache + CPU backend for mesh tests.
 
-Multi-chip hardware is not available in CI; sharding tests use
-`xla_force_host_platform_device_count` per the standard JAX recipe.
+`jax` is pre-imported by the environment before conftest runs, so plain
+JAX_* environment variables are read too late — all JAX configuration here
+must go through `jax.config.update`. XLA_FLAGS is still effective via
+os.environ because backends initialize lazily (no jax.devices() call has
+happened yet when conftest imports).
 """
 
 import os
 
-# Keep the accelerator (axon TPU) as the default compute backend when present,
-# but always expose a CPU backend so sharding tests can build the virtual
-# 8-device mesh via jax.devices("cpu").
-_platforms = os.environ.get("JAX_PLATFORMS", "")
-if _platforms and "cpu" not in _platforms:
-    os.environ["JAX_PLATFORMS"] = _platforms + ",cpu"
-else:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Virtual 8-device CPU platform for sharding tests (must precede backend init).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# Keep the accelerator (axon TPU) as the default compute backend when present,
+# but always expose a CPU backend so sharding tests can build the virtual
+# 8-device mesh via jax.devices("cpu").
+_platforms = os.environ.get("JAX_PLATFORMS", "")
+if _platforms and "cpu" not in _platforms:
+    jax.config.update("jax_platforms", _platforms + ",cpu")
+elif not _platforms:
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the limb-arithmetic graphs are large and
 # compile-heavy; caching makes repeated test runs fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
