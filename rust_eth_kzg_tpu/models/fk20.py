@@ -150,15 +150,20 @@ class FK20Prover:
         return self.poly_domain.ifft(data)
 
     def _h_poly_commitments(
-        self, poly: jnp.ndarray, slot_sharding=None
+        self, poly: jnp.ndarray, slot_sharding=None, tables=None
     ) -> C.G1:
         """poly: [L, B, poly_len] -> h-poly commitments G1 [B, k].
 
         With `slot_sharding` set (a NamedSharding over [L, B, slots, coset]),
         the per-slot MSM work is constrained to shard across the mesh's work
-        axis (see parallel/mesh.py).
+        axis (see parallel/mesh.py). `tables` must be passed explicitly when
+        called under an enclosing jit: pulling self.tables from the closure
+        embeds the multi-GB table arrays as HLO *constants* (the axon remote
+        compiler rejects such programs outright).
         """
         cfg = self.config
+        if tables is None:
+            tables = self.tables
         k = cfg.poly_len // cfg.coset_size
         # circulant rows via static gather + mask: [L, B, coset, 2k]
         rows = jnp.take(poly, self._circ_idx.reshape(-1), axis=-1)
@@ -173,8 +178,8 @@ class FK20Prover:
             msm_scalars = jax.lax.with_sharding_constraint(
                 msm_scalars, slot_sharding
             )
-        if self.tables is not None:
-            slot_results = M.fixed_base_msm(self.tables, msm_scalars)  # [B, 2k]
+        if tables is not None:
+            slot_results = M.fixed_base_msm(tables, msm_scalars)  # [B, 2k]
         else:
             pts = C.G1(
                 *(
@@ -214,49 +219,62 @@ class FK20Prover:
         evals = ntt.bit_reverse_permutation(evals, axis=-1)
         return evals.reshape(evals.shape[:-1] + (cfg.num_proofs, cfg.coset_size))
 
-    @partial(jax.jit, static_argnums=0)
     def prove_from_poly(self, poly: jnp.ndarray):
         """poly coefficients [L, B, poly_len] -> (proofs G1Affine [B, num_proofs],
         cells [L, B, num_proofs, coset]).
 
-        The full §3.2 pipeline of SURVEY.md as a single XLA program.
+        The full §3.2 pipeline of SURVEY.md as a single XLA program. The MSM
+        tables enter as jit arguments (device buffers), never as closure
+        constants.
         """
-        from ..utils.tracing import span
+        return _prove_from_poly(self, self.tables, poly)
 
-        with span("fk20/h_poly_commitments"):
-            h = self._h_poly_commitments(poly)
-        with span("fk20/proofs_g1_fft"):
-            proofs = self._proofs_from_h(h)
-        with span("fk20/coset_evaluations"):
-            cells = self._coset_evaluations(poly)
-        with span("fk20/batch_normalize"):
-            out = C.batch_normalize(proofs)
-        return out, cells
-
-    @partial(jax.jit, static_argnums=0)
     def prove_from_data(self, data: jnp.ndarray):
         """Blob scalars [L, B, poly_len] (bit-reversed eval form) -> proofs+cells."""
-        return self.prove_from_poly(self.blob_to_poly(data))
+        return _prove_from_data(self, self.tables, data)
 
     @partial(jax.jit, static_argnums=0)
     def extend_from_data(self, data: jnp.ndarray) -> jnp.ndarray:
         return self._coset_evaluations(self.blob_to_poly(data))
 
-    @partial(jax.jit, static_argnums=0)
     def commit_from_poly(self, poly: jnp.ndarray) -> C.G1:
         """poly [L, B, n] -> commitments G1 [B]."""
-        if self.commit_tables is not None:
-            return M.fixed_base_msm(self.commit_tables, poly)
-        pts = C.G1(
-            *(
-                jnp.broadcast_to(
-                    c[:, None], (c.shape[0], poly.shape[1]) + c.shape[1:]
-                )
-                for c in self._commit_points
-            )
-        )
-        return M.lincomb(pts, poly)
+        return _commit_from_poly(self, self.commit_tables, poly)
 
-    @partial(jax.jit, static_argnums=0)
     def commit_from_data(self, data: jnp.ndarray) -> C.G1:
-        return self.commit_from_poly(self.blob_to_poly(data))
+        return _commit_from_poly(self, self.commit_tables, self.blob_to_poly(data))
+
+
+@partial(jax.jit, static_argnums=0)
+def _prove_from_poly(prover: FK20Prover, tables, poly: jnp.ndarray):
+    from ..utils.tracing import span
+
+    with span("fk20/h_poly_commitments"):
+        h = prover._h_poly_commitments(poly, tables=tables)
+    with span("fk20/proofs_g1_fft"):
+        proofs = prover._proofs_from_h(h)
+    with span("fk20/coset_evaluations"):
+        cells = prover._coset_evaluations(poly)
+    with span("fk20/batch_normalize"):
+        out = C.batch_normalize(proofs)
+    return out, cells
+
+
+@partial(jax.jit, static_argnums=0)
+def _prove_from_data(prover: FK20Prover, tables, data: jnp.ndarray):
+    return _prove_from_poly(prover, tables, prover.blob_to_poly(data))
+
+
+@partial(jax.jit, static_argnums=0)
+def _commit_from_poly(prover: FK20Prover, commit_tables, poly: jnp.ndarray) -> C.G1:
+    if commit_tables is not None:
+        return M.fixed_base_msm(commit_tables, poly)
+    pts = C.G1(
+        *(
+            jnp.broadcast_to(
+                c[:, None], (c.shape[0], poly.shape[1]) + c.shape[1:]
+            )
+            for c in prover._commit_points
+        )
+    )
+    return M.lincomb(pts, poly)

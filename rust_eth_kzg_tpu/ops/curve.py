@@ -209,9 +209,10 @@ def equal(p: G1, q: G1) -> jnp.ndarray:
 def reduce_sum(p: G1, axis: int = 1) -> G1:
     """Sum of points along one batch axis by log-depth pairwise addition.
 
-    Runs as a scan over log2(n) halving levels with a single compiled body
-    (full-width roll + add; lanes beyond the live half are ignored), keeping
-    the program size flat in n.
+    Each level adds the two halves at *half* width (log2(n) distinct shapes,
+    n-1 total point additions — a full-width roll-and-add formulation would
+    do n*log2(n)/2, a 6x overspend at n=64, and this tree is the inner loop
+    of the fixed-base MSM window sums).
     """
     arrs = [jnp.moveaxis(c, axis, -1) for c in p]
     p = G1(*arrs)
@@ -221,15 +222,12 @@ def reduce_sum(p: G1, axis: int = 1) -> G1:
         idp = identity(p.batch_shape[:-1] + (pow2 - n,))
         p = G1(*(jnp.concatenate([c, i], axis=-1) for c, i in zip(p, idp)))
         n = pow2
-    if n == 1:
-        return G1(*(c[..., 0] for c in p))
-    shifts = jnp.asarray([n >> (level + 1) for level in range(n.bit_length() - 1)])
-
-    def level(p, shift):
-        rolled = G1(*(jnp.roll(c, -shift, axis=-1) for c in p))
-        return add(p, rolled), None
-
-    p, _ = jax.lax.scan(level, p, shifts)
+    while n > 1:
+        h = n // 2
+        lo = G1(*(c[..., :h] for c in p))
+        hi = G1(*(c[..., h:] for c in p))
+        p = add(lo, hi)
+        n = h
     return G1(*(c[..., 0] for c in p))
 
 

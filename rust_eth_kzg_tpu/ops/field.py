@@ -336,48 +336,54 @@ def inv_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnums=(0, 2))
 def batch_inverse(spec: FieldSpec, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
-    """Montgomery's trick over one batch axis: one inversion for N elements.
+    """Montgomery's trick over one batch axis: ~1 inversion per 32 elements.
 
     TPU-shaped replacement for the reference's scratchpad scan
-    (/root/reference/crates/cryptography/bls12_381/src/batch_inversion.rs:6-57):
-    two log-depth `associative_scan` prefix/suffix product passes + one Fermat
-    inversion, instead of two sequential passes.
+    (/root/reference/crates/cryptography/bls12_381/src/batch_inversion.rs:6-57).
+    The N elements are blocked into columns of K=32: a forward `lax.scan`
+    builds per-column prefix products (one compiled mont_mul body, K
+    sequential steps over all columns in parallel), the column totals are
+    inverted together by one Fermat exponentiation, and a backward scan
+    distributes the inverses. Graph size stays flat in N — the earlier
+    log-depth associative_scan unrolled ~2*log2(N) full CIOS bodies, which
+    blew up XLA compile time for table-sized N.
     """
     if axis != 1:
         a = jnp.moveaxis(a, axis, 1)
-
-    def combine(x, y):
-        return mont_mul(spec, x, y)
-
-    # inclusive prefix products along axis 1 (scan over axis 0 of moved array)
-    moved = jnp.moveaxis(a, 1, 0)  # [N, L, *rest]
-    prefix = jax.lax.associative_scan(
-        lambda x, y: jnp.moveaxis(
-            combine(jnp.moveaxis(x, 0, 1), jnp.moveaxis(y, 0, 1)), 1, 0
-        ),
-        moved,
-        axis=0,
-    )
-    suffix = jax.lax.associative_scan(
-        lambda x, y: jnp.moveaxis(
-            combine(jnp.moveaxis(x, 0, 1), jnp.moveaxis(y, 0, 1)), 1, 0
-        ),
-        moved,
-        axis=0,
-        reverse=True,
-    )
-    prefix = jnp.moveaxis(prefix, 0, 1)  # [L, N, *rest]
-    suffix = jnp.moveaxis(suffix, 0, 1)
-    total_inv = inv_mont(spec, prefix[:, -1])  # [L, *rest]
-
     n = a.shape[1]
-    one = spec.broadcast_const(spec.one_mont, (1,) + tuple(a.shape[2:]))
-    # inv[i] = prefix[i-1] * suffix[i+1] * total_inv
-    prefix_excl = jnp.concatenate([one, prefix[:, : n - 1]], axis=1)
-    suffix_excl = jnp.concatenate([suffix[:, 1:], one], axis=1)
-    out = mont_mul(
-        spec, mont_mul(spec, prefix_excl, suffix_excl), total_inv[:, None]
+    rest = a.shape[2:]
+    nl = spec.nlimbs
+
+    k = min(32, n)
+    npad = -(-n // k) * k
+    flat = a.reshape(nl, n, -1)  # [L, N, R]
+    if npad != n:
+        ones = spec.broadcast_const(spec.one_mont, (npad - n, flat.shape[-1]))
+        flat = jnp.concatenate([flat, ones], axis=1)
+    cols = flat.reshape(nl, npad // k, k, -1)  # [L, C, K, R]
+    x = jnp.moveaxis(cols, 2, 0)  # [K, L, C, R]
+
+    one = spec.broadcast_const(spec.one_mont, x.shape[2:])
+
+    def fwd(carry, xi):
+        nxt = mont_mul(spec, carry, xi)
+        return nxt, carry  # emit the *exclusive* prefix
+
+    total, prefix_excl = jax.lax.scan(fwd, one, x)  # total: [L, C, R]
+    total_inv = inv_mont(spec, total)
+
+    def bwd(carry, args):
+        xi, pi = args
+        out = mont_mul(spec, carry, pi)  # inv(x_i) = (prod_{j>i} x_j)^-1-ish
+        nxt = mont_mul(spec, carry, xi)
+        return nxt, out
+
+    _, inv_rev = jax.lax.scan(
+        bwd, total_inv, (x[::-1], prefix_excl[::-1])
     )
+    inv = inv_rev[::-1]  # [K, L, C, R]
+    out = jnp.moveaxis(inv, 0, 2).reshape(nl, npad, -1)[:, :n]
+    out = out.reshape((nl, n) + rest)
     if axis != 1:
         out = jnp.moveaxis(out, 1, axis)
     return out

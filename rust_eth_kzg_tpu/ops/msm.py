@@ -85,9 +85,15 @@ def signed_digits(scalars_mont: jnp.ndarray, window: int) -> jnp.ndarray:
 class FixedBaseMSM:
     """Precomputed window tables for a fixed point set.
 
-    table_x/table_y: [FP_LIMBS, P, D] affine Montgomery coordinates of
-    d * point_i for d = 1..D (D = 2^(w-1)); table_inf: [P, D] identity mask
-    (set when the base point itself is the identity). `window` is static.
+    table_x/table_y: [FP_LIMBS, *instance, chains*P, D] affine Montgomery
+    coordinates of d * (2^(window*wpc*j) point_i) for d = 1..D (D = 2^(w-1)),
+    chain j = 0..chains-1; table_inf: [*instance, chains*P, D] identity mask
+    (set when the base point itself is the identity).
+
+    `chains` is the Lim-Lee comb factor: scalar windows are split across
+    `chains` pre-scaled copies of the point set, shrinking the sequential
+    Horner doubling chain from ~SCALAR_BITS to window*wpc at the cost of
+    chains-times table memory. `wpc` = windows per chain.
     """
 
     table_x: jnp.ndarray
@@ -98,42 +104,99 @@ class FixedBaseMSM:
     # may hold many independent MSM problems (FK20 keeps one 64-point MSM per
     # proof slot), aligned against the trailing batch axes of the scalars.
     instance_ndim: int = 0
+    chains: int = 1
+    wpc: int = 0
 
     @property
     def num_points(self) -> int:
-        return self.table_x.shape[-2]
+        return self.table_x.shape[-2] // self.chains
 
     def tree_flatten(self):
         return (self.table_x, self.table_y, self.table_inf), (
             self.window,
             self.instance_ndim,
+            self.chains,
+            self.wpc,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, window=aux[0], instance_ndim=aux[1])
+        return cls(
+            *children,
+            window=aux[0],
+            instance_ndim=aux[1],
+            chains=aux[2],
+            wpc=aux[3],
+        )
 
 
-@partial(jax.jit, static_argnums=1)
+@partial(jax.jit, static_argnums=2)
+def _table_chunk(acc: C.G1, base_aff: C.G1Affine, dc: int):
+    """Next dc multiples starting at `acc`, normalized to affine [L, P, dc]."""
+
+    def step(a, _):
+        return C.add_mixed(a, base_aff), a
+
+    acc, multiples = jax.lax.scan(step, acc, None, length=dc)  # [dc, L, P]
+    stacked = C.G1(*(jnp.moveaxis(c, 0, -1) for c in multiples))  # [L, P, dc]
+    return acc, C.batch_normalize(stacked)
+
+
 def _build_tables(points: C.G1, window: int):
-    """points: G1 [P] -> stacked multiples 1..2^(w-1), normalized to affine."""
+    """points: G1 [P] -> stacked multiples 1..2^(w-1), normalized to affine.
+
+    Built in chunks along the multiples axis: normalizing all P * 2^(w-1)
+    points in one program needs several live copies of the full table and
+    OOMs HBM for chained mainnet tables."""
     d = 1 << (window - 1)
     base_aff = C.batch_normalize(points)
+    dc = min(16, d)
+    acc = points
+    xs, ys, infs = [], [], []
+    for _ in range(d // dc):
+        acc, aff = _table_chunk(acc, base_aff, dc)
+        xs.append(aff.x)
+        ys.append(aff.y)
+        infs.append(aff.inf)
+    return (
+        jnp.concatenate(xs, axis=-1),
+        jnp.concatenate(ys, axis=-1),
+        jnp.concatenate(infs, axis=-1),
+    )
 
-    def step(acc, _):
-        nxt = C.add_mixed(acc, base_aff)
-        return nxt, acc
 
-    _, multiples = jax.lax.scan(step, points, None, length=d)  # [D, L, P]
-    stacked = C.G1(*(jnp.moveaxis(c, 0, -1) for c in multiples))  # [L, P, D]
-    aff = C.batch_normalize(stacked)
-    return aff.x, aff.y, aff.inf
+@partial(jax.jit, static_argnums=(1, 2))
+def _chain_scaled_points(points: C.G1, chains: int, shift_bits: int) -> C.G1:
+    """Concatenate 2^(shift_bits*j) * points for j = 0..chains-1 on the point
+    axis (the Lim-Lee pre-scaling; setup-time only)."""
+    sets = [points]
+    base = points
+    for j in range(chains - 1):
+        def dbl(_, p):
+            return C.double(p)
+
+        base = jax.lax.fori_loop(0, shift_bits, dbl, base)
+        sets.append(base)
+    return C.G1(
+        *(jnp.concatenate([s[i] for s in sets], axis=-1) for i in range(3))
+    )
 
 
 def build_fixed_base_msm(
-    points: C.G1, window: int, instance_ndim: int = 0
+    points: C.G1, window: int, instance_ndim: int = 0, chains: int = 4
 ) -> FixedBaseMSM:
-    """points: G1 with batch shape [*instance, P]."""
+    """points: G1 with batch shape [*instance, P].
+
+    `chains` > 1 enables the Lim-Lee comb: the table holds `chains` pre-scaled
+    copies of the points and the MSM's sequential doubling chain shrinks by
+    the same factor (doublings run on a narrow accumulator and dominate
+    latency otherwise). chains=4, window=8 costs 4x table memory and cuts the
+    Horner depth 33 -> 9 windows.
+    """
+    n_win = SCALAR_BITS // window + 1
+    wpc = -(-n_win // chains)
+    if chains > 1:
+        points = _chain_scaled_points(points, chains, window * wpc)
     tx, ty, tinf = _build_tables(points, window)
     return FixedBaseMSM(
         table_x=tx,
@@ -141,6 +204,8 @@ def build_fixed_base_msm(
         table_inf=tinf,
         window=window,
         instance_ndim=instance_ndim,
+        chains=chains,
+        wpc=wpc,
     )
 
 
@@ -184,14 +249,27 @@ def fixed_base_msm(tables: FixedBaseMSM, scalars_mont: jnp.ndarray) -> C.G1:
     G1 with batch shape [*batch]. Replaces FixedBaseMSMPrecompWindow::msm
     (/root/reference/crates/cryptography/bls12_381/src/fixed_base_msm_window.rs:102-168):
     Horner over signed windows, sharing the `w` doublings per window across all
-    points and all batched MSM instances.
+    points and all batched MSM instances. With Lim-Lee chains, window j*wpc+s
+    addresses chain j's pre-scaled copy of the point set, so the Horner runs
+    over only `wpc` steps (each window sum spans chains*P points).
     """
     w = tables.window
     digits = signed_digits(scalars_mont, w)  # [n_win, *batch, P]
     n_win = digits.shape[0]
     batch_ndim = scalars_mont.ndim - 2
 
+    chains, wpc = tables.chains, tables.wpc
+    if chains > 1:
+        pad = chains * wpc - n_win
+        digits = jnp.pad(digits, [(0, pad)] + [(0, 0)] * (digits.ndim - 1))
+        d = digits.reshape((chains, wpc) + digits.shape[1:])
+        d = jnp.moveaxis(d, 0, -2)  # [wpc, *batch, chains, P]
+        digits = d.reshape((wpc,) + d.shape[1:-2] + (chains * d.shape[-1],))
+        n_win = wpc
+
     acc = _window_sum(tables, digits[n_win - 1], batch_ndim)
+    if n_win == 1:
+        return acc
 
     # Horner over the remaining windows, most significant first, as a scan so
     # the program size stays one window-body regardless of scalar width.

@@ -76,21 +76,16 @@ def prove_work_sharded(prover, mesh: Mesh, data: jnp.ndarray):
     that mixes them. This is the layout used when a single blob's latency
     matters more than batch throughput.
     """
-    cfg = prover.config
-
-    @partial(
-        jax.jit,
-        in_shardings=NamedSharding(mesh, P(None, "dp", None)),
-        out_shardings=None,
-    )
-    def run(d):
-        poly = prover.blob_to_poly(d)
+    @partial(jax.jit, static_argnums=0)
+    def run(prv, tables, d):
+        poly = prv.blob_to_poly(d)
         # constrain the per-slot MSM scalars [L, B, slots, coset] so the slot
         # axis (the 2k independent fixed-base MSMs) shards over `work`
         slot_sharding = NamedSharding(mesh, P(None, "dp", "work", None))
-        h = prover._h_poly_commitments(poly, slot_sharding)
-        proofs = prover._proofs_from_h(h)
-        cells = prover._coset_evaluations(poly)
+        h = prv._h_poly_commitments(poly, slot_sharding, tables=tables)
+        proofs = prv._proofs_from_h(h)
+        cells = prv._coset_evaluations(poly)
         return C.batch_normalize(proofs), cells
 
-    return run(data)
+    data = jax.device_put(data, NamedSharding(mesh, P(None, "dp", None)))
+    return run(prover, prover.tables, data)

@@ -24,6 +24,8 @@ def save_prover_tables(prover, path: str) -> None:
             fk20_y=np.asarray(prover.tables.table_y),
             fk20_inf=np.asarray(prover.tables.table_inf),
             fk20_window=np.asarray(prover.tables.window),
+            fk20_chains=np.asarray(prover.tables.chains),
+            fk20_wpc=np.asarray(prover.tables.wpc),
         )
     if prover.commit_tables is not None:
         arrays.update(
@@ -31,6 +33,8 @@ def save_prover_tables(prover, path: str) -> None:
             commit_y=np.asarray(prover.commit_tables.table_y),
             commit_inf=np.asarray(prover.commit_tables.table_inf),
             commit_window=np.asarray(prover.commit_tables.window),
+            commit_chains=np.asarray(prover.commit_tables.chains),
+            commit_wpc=np.asarray(prover.commit_tables.wpc),
         )
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **arrays)
@@ -57,6 +61,8 @@ def load_prover_tables(prover, path: str) -> bool:
                 table_inf=jnp.asarray(data["fk20_inf"]),
                 window=int(data["fk20_window"]),
                 instance_ndim=prover.tables.instance_ndim,
+                chains=int(data["fk20_chains"]),
+                wpc=int(data["fk20_wpc"]),
             )
         if prover.commit_tables is not None:
             if int(data["commit_window"]) != prover.commit_tables.window:
@@ -67,6 +73,8 @@ def load_prover_tables(prover, path: str) -> bool:
                 table_inf=jnp.asarray(data["commit_inf"]),
                 window=int(data["commit_window"]),
                 instance_ndim=0,
+                chains=int(data["commit_chains"]),
+                wpc=int(data["commit_wpc"]),
             )
     except KeyError:
         return False
