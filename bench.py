@@ -34,8 +34,11 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     window = int(os.environ.get("BENCH_WINDOW", "8"))
 
+    cache = os.environ.get(
+        "KZG_TPU_TABLE_CACHE", "/root/repo/.tables/mainnet_tables.npz"
+    )
     t0 = time.time()
-    ctx = DASContext(use_precomp=window)
+    ctx = DASContext(use_precomp=window, table_cache=cache)
     init_s = time.time() - t0
     print(f"# init (tables on device): {init_s:.1f}s", file=sys.stderr)
 

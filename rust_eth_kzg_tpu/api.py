@@ -182,7 +182,10 @@ class DASContext:
         self,
         trusted_setup: TrustedSetup | None = None,
         use_precomp: int | None = CONST.RECOMMENDED_PRECOMP_WIDTH,
+        table_cache: str | None = None,
     ):
+        import os as _os
+
         setup = trusted_setup or TrustedSetup.default()
         cfg = FK20Config(
             poly_len=CONST.FIELD_ELEMENTS_PER_BLOB,
@@ -192,7 +195,9 @@ class DASContext:
             commit_window=use_precomp,
         )
         self.config = cfg
-        self.prover = FK20Prover(setup.g1_monomial, cfg)
+        if table_cache is None:
+            table_cache = _os.environ.get("KZG_TPU_TABLE_CACHE") or None
+        self.prover = FK20Prover(setup.g1_monomial, cfg, table_cache=table_cache)
         self.rs = ReedSolomon(
             poly_len=cfg.poly_len,
             expansion_factor=cfg.expansion,

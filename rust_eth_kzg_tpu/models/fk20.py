@@ -90,7 +90,12 @@ class FK20Prover:
     the circulant domain, and baked into per-proof-slot MSM tables.
     """
 
-    def __init__(self, commit_key_points: list, config: FK20Config):
+    def __init__(
+        self,
+        commit_key_points: list,
+        config: FK20Config,
+        table_cache: str | None = None,
+    ):
         cfg = config
         assert cfg.poly_len % cfg.coset_size == 0
         self.config = cfg
@@ -99,6 +104,27 @@ class FK20Prover:
         self.proof_domain = ntt.domain(cfg.num_proofs)
         self.evaluation_domain = ntt.domain(cfg.ext_size)
         self.poly_domain = ntt.domain(cfg.poly_len)
+
+        ci, cm = _circulant_index_map(cfg.poly_len, cfg.coset_size)
+        self._circ_idx = jnp.asarray(ci)
+        self._circ_mask = jnp.asarray(cm)
+        self._slot_points = None
+        self._commit_points = None
+
+        # --- table snapshot fast path (checkpoint/resume, SURVEY.md §5) ---
+        from ..utils import persist
+
+        self._srs_fingerprint = persist.srs_fingerprint(commit_key_points)
+        if table_cache and cfg.fk20_window and cfg.commit_window:
+            loaded = persist.try_load_tables(
+                table_cache,
+                self._srs_fingerprint,
+                cfg.fk20_window,
+                cfg.commit_window,
+            )
+            if loaded is not None:
+                self.tables, self.commit_tables = loaded
+                return
 
         # --- SRS -> per-slot fixed points (setup-time, host+device) ---
         # reversed SRS minus the last coset, strided: vector i holds
@@ -135,9 +161,13 @@ class FK20Prover:
             self.commit_tables = None
             self._commit_points = commit_pts
 
-        ci, cm = _circulant_index_map(cfg.poly_len, cfg.coset_size)
-        self._circ_idx = jnp.asarray(ci)
-        self._circ_mask = jnp.asarray(cm)
+        if table_cache and self.tables is not None and self.commit_tables is not None:
+            persist.save_tables_file(
+                table_cache,
+                self._srs_fingerprint,
+                fk20=self.tables,
+                commit=self.commit_tables,
+            )
 
     # --- pipeline pieces (all shapes [L, B, ...]) ---
 
@@ -172,8 +202,14 @@ class FK20Prover:
         col_fft = self.circulant_domain.fft(
             rows.reshape(FR.nlimbs, -1, 2 * k)
         ).reshape(rows.shape)
-        # transpose to per-slot scalars [L, B, 2k, coset]
+        # transpose to per-slot scalars [L, B, 2k, coset], folding the
+        # circulant IFFT's 1/(2k) scale into the Fr scalars (one cheap field
+        # multiply here replaces a ~130-step G1 scalar-mul after the IFFT)
         msm_scalars = jnp.swapaxes(col_fft, -1, -2)
+        inv_scale = FR.broadcast_const(
+            self.circulant_domain.size_inv_mont, msm_scalars.shape[1:]
+        )
+        msm_scalars = F.mont_mul(FR, msm_scalars, inv_scale)
         if slot_sharding is not None:
             msm_scalars = jax.lax.with_sharding_constraint(
                 msm_scalars, slot_sharding
@@ -190,8 +226,11 @@ class FK20Prover:
                 )
             )
             slot_results = M.lincomb(pts, msm_scalars)
-        # inverse group-FFT, keep first k entries (h-poly commitments)
-        return self.circulant_domain.ifft_g1(slot_results, take_n=k)
+        # inverse group-FFT, keep first k entries (h-poly commitments); the
+        # 1/(2k) scale was folded into msm_scalars above
+        return self.circulant_domain.ifft_g1(
+            slot_results, take_n=k, prescaled=True
+        )
 
     def _proofs_from_h(self, h_comms: C.G1) -> C.G1:
         """h commitments [B, k] -> bit-reversed proofs [B, num_proofs]."""

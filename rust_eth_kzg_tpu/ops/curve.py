@@ -127,6 +127,56 @@ def add_mixed_values(p: G1, q_affine: G1Affine) -> G1:
     return select(q_affine.inf, p, out)
 
 
+def add_affine_values(a: G1Affine, b: G1Affine) -> G1:
+    """Affine + affine -> projective, *incomplete* chord formula (8 muls vs 13
+    for the complete mixed add). Used for the first level of MSM window-sum
+    trees, where both operands are canonical table entries.
+
+    u = y2-y1, v = x2-x1; Z3 = v^3, X3 = v*(u^2 - v^2*(x1+x2)),
+    Y3 = u*(x1*v^2 - (u^2 - v^2*(x1+x2))) - y1*v^3.
+
+    Exception lanes:
+    - either input identity: handled by output selects on the inf masks.
+    - opposite points (v=0, u!=0): X3=Z3=0, Y3=-u^3 != 0 — a valid projective
+      identity, correct by construction.
+    - equal points (v=0, u=0): returns the invalid (0:0:0). Callers must
+      guarantee distinct non-identity inputs; for window sums over fixed-base
+      tables, equal lanes would encode a nontrivial discrete-log relation
+      between distinct SRS points (computationally negligible — the reference
+      makes the same assumption in its incomplete batch-affine tree,
+      /root/reference/crates/cryptography/bls12_381/src/batch_addition.rs:46-124).
+
+    Bounds: x < p canonical, y < 2p (possibly negated); outputs < 4p.
+    """
+    x1, y1 = a.x, a.y
+    x2, y2 = b.x, b.y
+    u = _sub(y2, y1, kp=2)  # < 4p
+    v = _sub(x2, x1, kp=2)  # < 3p
+    usq = _mul(u, u)  # < 2p
+    vsq = _mul(v, v)  # < 2p
+    vcu = _mul(v, vsq)  # < 2p
+    d = _mul(vsq, _add(x1, x2))  # < 2p
+    w = _sub(usq, d, kp=2)  # x3 * v^2, < 4p
+    x3 = _mul(v, w)  # < 2p
+    t = _sub(_mul(x1, vsq), w, kp=4)  # < 6p
+    y3 = _sub(_mul(u, t), _mul(y1, vcu), kp=2)  # < 4p
+    one = FP.broadcast_const(FP.one_mont, x1.shape[1:])
+    zero = jnp.zeros_like(x1)
+    pa = G1(
+        x=F.select(a.inf, zero, x1),
+        y=F.select(a.inf, one, y1),
+        z=F.select(a.inf, zero, one),
+    )
+    pb = G1(
+        x=F.select(b.inf, zero, x2),
+        y=F.select(b.inf, one, y2),
+        z=F.select(b.inf, zero, one),
+    )
+    out = G1(x=x3, y=y3, z=vcu)
+    out = select(b.inf, pa, out)
+    return select(a.inf, pb, out)
+
+
 def double_values(p: G1) -> G1:
     """Complete projective doubling (RCB Algorithm 9, a=0). Bounds < 4p."""
     x, y, z = p
@@ -166,6 +216,15 @@ def add_mixed(p: G1, q_affine: G1Affine) -> G1:
     if PK.enabled():
         return PK.g1_add_mixed(p, q_affine)
     return add_mixed_values(p, q_affine)
+
+
+@jax.jit
+def add_affine(a: G1Affine, b: G1Affine) -> G1:
+    from . import pallas_kernels as PK
+
+    if PK.enabled():
+        return PK.g1_add_affine(a, b)
+    return add_affine_values(a, b)
 
 
 @jax.jit
@@ -334,17 +393,25 @@ def batch_normalize(p: G1) -> G1Affine:
     Equivalent of the reference's `g1_batch_normalize`
     (/root/reference/crates/cryptography/bls12_381/src/lib.rs:56-104);
     identity lanes are flagged and mapped to (0, 0).
+
+    All arithmetic runs on 2-D [L, N] views: a small trailing batch dim
+    (e.g. the table builder's 16-wide multiples axis) otherwise tiles as
+    (8, 128) with up to 8x HBM padding on every temp, which OOMs the
+    table-build program at mainnet shapes.
     """
+    batch = p.batch_shape
+    p = G1(*(c.reshape(FP_LIMBS, -1) for c in p))
     inf = is_identity(p)
     one = FP.broadcast_const(FP.one_mont, p.batch_shape)
     z_safe = F.select(inf, one, p.z)
-    flat = z_safe.reshape(FP_LIMBS, -1)
-    zinv = F.batch_inverse(FP, flat, axis=1).reshape(z_safe.shape)
+    zinv = F.batch_inverse(FP, z_safe, axis=1)
     x = F.canonical(FP, _mul(p.x, zinv))
     y = F.canonical(FP, _mul(p.y, zinv))
     zero = FP.broadcast_const(FP.zero, p.batch_shape)
     return G1Affine(
-        x=F.select(inf, zero, x), y=F.select(inf, zero, y), inf=inf
+        x=F.select(inf, zero, x).reshape((FP_LIMBS,) + batch),
+        y=F.select(inf, zero, y).reshape((FP_LIMBS,) + batch),
+        inf=inf.reshape(batch),
     )
 
 

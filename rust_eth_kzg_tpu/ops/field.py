@@ -348,6 +348,15 @@ def batch_inverse(spec: FieldSpec, a: jnp.ndarray, axis: int = 1) -> jnp.ndarray
     log-depth associative_scan unrolled ~2*log2(N) full CIOS bodies, which
     blew up XLA compile time for table-sized N.
     """
+    from . import pallas_kernels as PK
+
+    if PK.enabled():
+        # fused single-kernel path: elementwise over the whole array, so the
+        # blocking axis is irrelevant
+        shape = a.shape
+        flat = a.reshape(spec.nlimbs, -1)
+        return PK.batch_inverse_flat(spec, flat).reshape(shape)
+
     if axis != 1:
         a = jnp.moveaxis(a, axis, 1)
     n = a.shape[1]

@@ -85,9 +85,11 @@ def signed_digits(scalars_mont: jnp.ndarray, window: int) -> jnp.ndarray:
 class FixedBaseMSM:
     """Precomputed window tables for a fixed point set.
 
-    table_x/table_y: [FP_LIMBS, *instance, chains*P, D] affine Montgomery
-    coordinates of d * (2^(window*wpc*j) point_i) for d = 1..D (D = 2^(w-1)),
-    chain j = 0..chains-1; table_inf: [*instance, chains*P, D] identity mask
+    table_rows: [*instance, chains*P, D, 2*FP_LIMBS] — the affine Montgomery
+    x-limbs then y-limbs of d * (2^(window*wpc*j) point_i) for d = 1..D
+    (D = 2^(w-1)), chain j = 0..chains-1, stored row-major so one window
+    lookup is a single 208-byte contiguous gather instead of 52 scattered
+    element gathers. table_inf: [*instance, chains*P, D] identity mask
     (set when the base point itself is the identity).
 
     `chains` is the Lim-Lee comb factor: scalar windows are split across
@@ -96,8 +98,7 @@ class FixedBaseMSM:
     chains-times table memory. `wpc` = windows per chain.
     """
 
-    table_x: jnp.ndarray
-    table_y: jnp.ndarray
+    table_rows: jnp.ndarray
     table_inf: jnp.ndarray
     window: int
     # number of leading "instance" axes in the table's point dims: the tables
@@ -109,10 +110,10 @@ class FixedBaseMSM:
 
     @property
     def num_points(self) -> int:
-        return self.table_x.shape[-2] // self.chains
+        return self.table_rows.shape[-3] // self.chains
 
     def tree_flatten(self):
-        return (self.table_x, self.table_y, self.table_inf), (
+        return (self.table_rows, self.table_inf), (
             self.window,
             self.instance_ndim,
             self.chains,
@@ -142,8 +143,16 @@ def _table_chunk(acc: C.G1, base_aff: C.G1Affine, dc: int):
     return acc, C.batch_normalize(stacked)
 
 
+@jax.jit
+def _rows_layout(aff_x: jnp.ndarray, aff_y: jnp.ndarray) -> jnp.ndarray:
+    """[L, *pts, dc] x/y limb arrays -> [*pts, dc, 2L] row-major layout."""
+    x = jnp.moveaxis(aff_x, 0, -1)
+    y = jnp.moveaxis(aff_y, 0, -1)
+    return jnp.concatenate([x, y], axis=-1)
+
+
 def _build_tables(points: C.G1, window: int):
-    """points: G1 [P] -> stacked multiples 1..2^(w-1), normalized to affine.
+    """points: G1 [P] -> multiples 1..2^(w-1) as row-major affine tables.
 
     Built in chunks along the multiples axis: normalizing all P * 2^(w-1)
     points in one program needs several live copies of the full table and
@@ -152,15 +161,13 @@ def _build_tables(points: C.G1, window: int):
     base_aff = C.batch_normalize(points)
     dc = min(16, d)
     acc = points
-    xs, ys, infs = [], [], []
+    rows, infs = [], []
     for _ in range(d // dc):
         acc, aff = _table_chunk(acc, base_aff, dc)
-        xs.append(aff.x)
-        ys.append(aff.y)
+        rows.append(_rows_layout(aff.x, aff.y))
         infs.append(aff.inf)
     return (
-        jnp.concatenate(xs, axis=-1),
-        jnp.concatenate(ys, axis=-1),
+        jnp.concatenate(rows, axis=-2),
         jnp.concatenate(infs, axis=-1),
     )
 
@@ -197,10 +204,9 @@ def build_fixed_base_msm(
     wpc = -(-n_win // chains)
     if chains > 1:
         points = _chain_scaled_points(points, chains, window * wpc)
-    tx, ty, tinf = _build_tables(points, window)
+    rows, tinf = _build_tables(points, window)
     return FixedBaseMSM(
-        table_x=tx,
-        table_y=ty,
+        table_rows=rows,
         table_inf=tinf,
         window=window,
         instance_ndim=instance_ndim,
@@ -213,31 +219,51 @@ def _window_sum(tables: FixedBaseMSM, d: jnp.ndarray, batch_ndim: int) -> C.G1:
     """Sum of +/- table[|d_i|] over the point axis for one window's digits.
 
     d: [*batch, *instance, P] signed digits. Returns G1 [*batch, *instance].
+    One contiguous 2L-wide row gather per digit (the element-strided gather
+    of the limb-major layout was ~5x slower), then a fused in-VMEM pairwise
+    addition tree (pallas_kernels.g1_tree_sum).
     """
+    from . import pallas_kernels as PK
+
     pad = batch_ndim - tables.instance_ndim
     idx = jnp.maximum(jnp.abs(d) - 1, 0)
-    tx = tables.table_x.reshape(
-        (FP_LIMBS,) + (1,) * pad + tables.table_x.shape[1:]
-    )
-    ty = tables.table_y.reshape(
-        (FP_LIMBS,) + (1,) * pad + tables.table_y.shape[1:]
-    )
-    gx = jnp.take_along_axis(tx, idx[None, ..., None], axis=-1)[..., 0]
-    gy = jnp.take_along_axis(ty, idx[None, ..., None], axis=-1)[..., 0]
+    trows = tables.table_rows.reshape((1,) * pad + tables.table_rows.shape)
+    rows = jnp.take_along_axis(trows, idx[..., None, None], axis=-2)[..., 0, :]
     ginf = jnp.take_along_axis(
         tables.table_inf.reshape((1,) * pad + tables.table_inf.shape),
         idx[..., None],
         axis=-1,
     )[..., 0]
-    gy = F.select(d < 0, F.neg(FP, gy, kp=2), gy)
+    gx = jnp.moveaxis(rows[..., :FP_LIMBS], -1, 0)
+    gy = jnp.moveaxis(rows[..., FP_LIMBS:], -1, 0)
     inf = jnp.logical_or(d == 0, ginf)
-    one = FP.broadcast_const(FP.one_mont, gx.shape[1:])
-    zero = FP.broadcast_const(FP.zero, gx.shape[1:])
-    proj = C.G1(
-        x=F.select(inf, zero, gx),
-        y=F.select(inf, one, gy),
-        z=F.select(inf, zero, one),
-    )
+    # The fully-fused window tree (one kernel per window) is opt-in: at
+    # mainnet shapes its 7 unrolled complete-add levels (~28k vector ops)
+    # explode Mosaic compile time. The per-level pallas adds below compile in
+    # seconds and are within ~15% at batch 8.
+    import os
+
+    if PK.enabled() and os.environ.get("KZG_TPU_TREE") == "1":
+        flag = jnp.where(inf, 0, jnp.where(d < 0, -1, 1)).astype(jnp.int32)
+        return PK.g1_tree_sum(gx, gy, flag)
+    gy = F.select(d < 0, F.neg(FP, gy, kp=2), gy)
+    k = gx.shape[-1]
+    if k % 2 == 0 and k > 1:
+        # first tree level as an *incomplete* affine chord addition (8 vs 13
+        # field muls; see curve.add_affine_values for why equal-point lanes
+        # cannot occur over fixed-base tables)
+        h = k // 2
+        lo = C.G1Affine(x=gx[..., :h], y=gy[..., :h], inf=inf[..., :h])
+        hi = C.G1Affine(x=gx[..., h:], y=gy[..., h:], inf=inf[..., h:])
+        proj = C.add_affine(lo, hi)
+    else:
+        one = FP.broadcast_const(FP.one_mont, gx.shape[1:])
+        zero = FP.broadcast_const(FP.zero, gx.shape[1:])
+        proj = C.G1(
+            x=F.select(inf, zero, gx),
+            y=F.select(inf, one, gy),
+            z=F.select(inf, zero, one),
+        )
     return C.reduce_sum(proj, axis=batch_ndim + 1)
 
 

@@ -55,6 +55,40 @@ def domain(size: int) -> "Domain":
     return Domain(size)
 
 
+def _pair_schedule(size: int, gen: int):
+    """Distinct-pair butterfly schedule: stage s has n/2 butterflies (a, b, w)
+    producing a+wb and a-wb; positions i and i+h of the uniform schedule share
+    one (a, b, w) triple, so computing per-pair halves the twiddle-multiply
+    lane volume (the dominant cost of the G1 group-FFT).
+
+    Returns (idx_a [S,n/2], idx_b [S,n/2], perm [S,n], tw_ints [S,n/2]):
+    out = concat(a+wb, a-wb)[perm].
+    """
+    log_n = size.bit_length() - 1
+    half = size // 2
+    idx_a = np.zeros((log_n, half), dtype=np.int64)
+    idx_b = np.zeros((log_n, half), dtype=np.int64)
+    perm = np.zeros((log_n, size), dtype=np.int64)
+    tw = np.zeros((log_n, half), dtype=object)
+    for s in range(log_n):
+        h = 1 << s
+        lower = np.array([i for i in range(size) if not (i >> s) & 1])
+        rank = {int(i): r for r, i in enumerate(lower)}
+        idx_a[s] = lower
+        idx_b[s] = lower + h
+        step = pow(gen, size >> (s + 1), R_SCALAR)
+        tw[s] = np.array(
+            [pow(step, int(i % (2 * h) % h), R_SCALAR) for i in lower],
+            dtype=object,
+        )
+        for i in range(size):
+            if (i >> s) & 1:
+                perm[s, i] = half + rank[i - h]
+            else:
+                perm[s, i] = rank[i]
+    return idx_a, idx_b, perm, tw
+
+
 def _stage_schedule(size: int, gen: int):
     """Uniform butterfly schedule for all stages.
 
@@ -176,56 +210,89 @@ class Domain:
 
     # --- G1 group transforms: p is a curve.G1 with batch shape [B, n] ---
 
-    def _g1_twiddle_bits(self, tag: str, gen: int):
-        """Static per-stage GLV-split twiddle tables (cached as numpy —
-        the jnp conversion must happen per-trace to avoid leaking tracers).
+    def _g1_pair_schedule(self, tag: str, gen: int):
+        """Static per-stage distinct-pair schedule + GLV-split twiddle tables
+        (cached as numpy — the jnp conversion must happen per-trace to avoid
+        leaking tracers).
 
-        Returns (bits1 [S, NB, n], neg1 [S, n], bits2, neg2): the twiddle
-        scalar-muls inside the group butterflies run over two ~129-bit GLV
-        halves instead of 255 bits, halving the doubling chain.
+        Returns (idx_a [S, n/2], idx_b, perm [S, n], bits1 [S, NB, n/2],
+        neg1 [S, n/2], bits2, neg2): each stage computes n/2 twiddle
+        scalar-muls (not n — see _pair_schedule) over two ~129-bit GLV halves.
         """
         if tag not in self._g1_bits:
-            _, _, _, tw = _stage_schedule(self.size, gen)
-            s, n = tw.shape
+            idx_a, idx_b, perm, tw = _pair_schedule(self.size, gen)
+            s, half = tw.shape
             nb = C.GLV_NBITS
-            bits1 = np.zeros((s, nb, n), dtype=bool)
-            bits2 = np.zeros((s, nb, n), dtype=bool)
-            neg1 = np.zeros((s, n), dtype=bool)
-            neg2 = np.zeros((s, n), dtype=bool)
+            bits1 = np.zeros((s, nb, half), dtype=bool)
+            bits2 = np.zeros((s, nb, half), dtype=bool)
+            neg1 = np.zeros((s, half), dtype=bool)
+            neg2 = np.zeros((s, half), dtype=bool)
             for st in range(s):
                 b1, n1, b2, n2 = C.glv_bits_host([int(w) for w in tw[st]])
                 bits1[st], bits2[st] = b1, b2
                 neg1[st], neg2[st] = n1, n2
-            self._g1_bits[tag] = (bits1, neg1, bits2, neg2)
+            self._g1_bits[tag] = (idx_a, idx_b, perm, bits1, neg1, bits2, neg2)
         return self._g1_bits[tag]
 
     def _dit_g1(self, p: C.G1, tag: str, gen: int) -> C.G1:
         b, n = p.batch_shape
         assert n == self.size
         p = C.G1(*(bit_reverse_permutation(c, axis=-1) for c in p))
-        idx_a, idx_b, upper, _ = self._sched[tag]
-        bits1, neg1, bits2, neg2 = (
-            jnp.asarray(t) for t in self._g1_twiddle_bits(tag, gen)
+        half = n // 2
+        if n == 1:
+            return p
+        idx_a, idx_b, perm, bits1, neg1, bits2, neg2 = (
+            jnp.asarray(t) for t in self._g1_pair_schedule(tag, gen)
         )
 
+        # stage 0 twiddles are all w = 1 (exponent i mod 1 == 0): run it as a
+        # plain add/sub outside the scan instead of a 130-step GLV multiply
+        a0 = C.G1(*(jnp.take(c, idx_a[0], axis=-1) for c in p))
+        b0 = C.G1(*(jnp.take(c, idx_b[0], axis=-1) for c in p))
+        cat0 = C.G1(
+            *(
+                jnp.concatenate([cp, cm], axis=-1)
+                for cp, cm in zip(C.add(a0, b0), C.add(a0, C.neg(b0)))
+            )
+        )
+        p = C.G1(*(jnp.take(c, perm[0], axis=-1) for c in cat0))
+        if n == 2:
+            return p
+
         def stage(p, args):
-            ia, ib, up, b1, n1, b2, n2 = args
+            ia, ib, pm, b1, n1, b2, n2 = args
             a = C.G1(*(jnp.take(c, ia, axis=-1) for c in p))
             t = C.G1(*(jnp.take(c, ib, axis=-1) for c in p))
-            bshape = (C.GLV_NBITS, b, n)
+            bshape = (C.GLV_NBITS, b, half)
             wt = C.scalar_mul_glv(
                 t,
                 jnp.broadcast_to(b1[:, None, :], bshape),
-                jnp.broadcast_to(n1[None, :], (b, n)),
+                jnp.broadcast_to(n1[None, :], (b, half)),
                 jnp.broadcast_to(b2[:, None, :], bshape),
-                jnp.broadcast_to(n2[None, :], (b, n)),
+                jnp.broadcast_to(n2[None, :], (b, half)),
             )
             plus = C.add(a, wt)
             minus = C.add(a, C.neg(wt))
-            return C.select(up, minus, plus), None
+            cat = C.G1(
+                *(
+                    jnp.concatenate([cp, cm], axis=-1)
+                    for cp, cm in zip(plus, minus)
+                )
+            )
+            return C.G1(*(jnp.take(c, pm, axis=-1) for c in cat)), None
 
         p, _ = jax.lax.scan(
-            stage, p, (idx_a, idx_b, upper, bits1, neg1, bits2, neg2)
+            stage,
+            p,
+            (
+                idx_a[1:],
+                idx_b[1:],
+                perm[1:],
+                bits1[1:],
+                neg1[1:],
+                bits2[1:],
+                neg2[1:],
+            ),
         )
         return p
 
@@ -240,15 +307,26 @@ class Domain:
         """
         return self._dit_g1(p, "fwd", self.generator)
 
-    @partial(jax.jit, static_argnums=(0, 2), static_argnames=("take_n",))
-    def ifft_g1(self, p: C.G1, take_n: int | None = None) -> C.G1:
+    @partial(
+        jax.jit,
+        static_argnums=(0, 2, 3),
+        static_argnames=("take_n", "prescaled"),
+    )
+    def ifft_g1(
+        self, p: C.G1, take_n: int | None = None, prescaled: bool = False
+    ) -> C.G1:
         """Inverse group FFT, optionally truncated before the 1/n scaling.
 
-        Matches Domain::ifft_g1_take_n (domain.rs:172-194).
+        Matches Domain::ifft_g1_take_n (domain.rs:172-194). With
+        `prescaled=True` the final 1/n group scalar-multiply is skipped — the
+        caller has already folded 1/n into whatever Fr scalars produced `p`
+        (an Fr multiply per lane instead of a ~130-step G1 double-and-add).
         """
         out = self._dit_g1(p, "inv", self.generator_inv)
         if take_n is not None:
             out = C.G1(*(c[..., :take_n] for c in out))
+        if prescaled:
+            return out
         b1, n1, b2, n2 = C.glv_bits_host([self.size_inv])
         shape = (C.GLV_NBITS,) + tuple(out.batch_shape)
         return C.scalar_mul_glv(
@@ -258,3 +336,7 @@ class Domain:
             jnp.broadcast_to(jnp.asarray(b2)[:, :1, None], shape),
             jnp.broadcast_to(jnp.asarray(n2), out.batch_shape),
         )
+
+    @property
+    def size_inv_mont(self) -> np.ndarray:
+        return self._size_inv_mont

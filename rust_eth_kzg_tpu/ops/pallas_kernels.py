@@ -82,6 +82,7 @@ def _fp_const_arrays() -> list[np.ndarray]:
         np.asarray(F.FP.p2_limbs),
         np.asarray(F.FP.p4_limbs),
         np.asarray(C.B3_MONT),
+        np.asarray(F.FP.one_mont),
     ]
 
 
@@ -186,6 +187,258 @@ def g1_add_mixed(p: C.G1, q_affine: C.G1Affine) -> C.G1:
 def _broadcast_g1(p: C.G1, batch) -> C.G1:
     shape = (FP_LIMBS,) + tuple(batch)
     return C.G1(*(jnp.broadcast_to(c, shape) for c in p))
+
+
+def g1_add_affine(a: C.G1Affine, b: C.G1Affine) -> C.G1:
+    """Fused incomplete affine+affine chord addition (curve.add_affine_values):
+    8 field muls per lane; the identity masks ride along as int32 limb rows."""
+    batch = jnp.broadcast_shapes(a.x.shape[1:], b.x.shape[1:])
+    shape = (FP_LIMBS,) + tuple(batch)
+
+    def mask_row(aff):
+        return jnp.broadcast_to(aff.inf.astype(jnp.int32)[None], shape)
+
+    ins = [
+        jnp.broadcast_to(a.x, shape),
+        jnp.broadcast_to(a.y, shape),
+        mask_row(a),
+        jnp.broadcast_to(b.x, shape),
+        jnp.broadcast_to(b.y, shape),
+        mask_row(b),
+    ]
+
+    def body(vals):
+        ax, ay, am, bx, by, bm = vals
+        out = C.add_affine_values(
+            C.G1Affine(x=ax, y=ay, inf=am[0, :] != 0),
+            C.G1Affine(x=bx, y=by, inf=bm[0, :] != 0),
+        )
+        return out.x, out.y, out.z
+
+    return _g1_call(body, ins, batch)
+
+
+def _fp_const_arrays_tree() -> list[np.ndarray]:
+    return _fp_const_arrays()
+
+
+def _tree_kernel_body(x, y, flag, one):
+    """Reduce the trailing point axis by pairwise complete additions.
+
+    x, y: [L, Mt, K] canonical affine Montgomery limbs; flag: [Mt, K] int32
+    with 0 = identity lane, -1 = negate y, +1 = as-is. Returns projective
+    coordinate triple [L, Mt]. The first level is a mixed addition (both
+    operands affine, ~11 vs 14 field muls); the rest are full adds.
+    """
+    inf = flag == 0
+    negm = flag < 0
+    y = jnp.where(negm[None], F.neg_values(F.FP, y, kp=2), y)
+    k = x.shape[-1]
+    if k > 1:
+        h = k // 2
+        lo = C.G1Affine(x=x[..., :h], y=y[..., :h], inf=inf[..., :h])
+        hi = C.G1Affine(x=x[..., h:], y=y[..., h:], inf=inf[..., h:])
+        p = C.add_affine_values(lo, hi)
+        k = h
+    else:
+        zero = jnp.zeros_like(x)
+        onef = jnp.broadcast_to(one, y.shape)
+        p = C.G1(
+            jnp.where(inf[None], zero, x),
+            jnp.where(inf[None], onef, y),
+            jnp.where(inf[None], zero, onef),
+        )
+    while k > 1:
+        h = k // 2
+        lo = C.G1(*(c[..., :h] for c in p))
+        hi = C.G1(*(c[..., h:] for c in p))
+        p = C.add_values(lo, hi)
+        k = h
+    return C.G1(*(c[..., 0] for c in p))
+
+
+def _pick_tile(m: int, k: int) -> int:
+    """Output blocks are [L, mt]: Mosaic needs mt divisible by 128 (lane
+    dim) or equal to m. Budget ~16k lanes per block keeps the tree's live
+    temporaries inside VMEM."""
+    budget = max(1, 16384 // k)
+    for cand in (1024, 512, 256, 128):
+        if cand <= budget and m % cand == 0 and m != cand:
+            return cand
+    return m
+
+
+def g1_tree_sum(x: jnp.ndarray, y: jnp.ndarray, flag: jnp.ndarray) -> C.G1:
+    """Sum of (masked/signed) affine points over the trailing axis, fused.
+
+    x, y: [L, *lead, K]; flag: [*lead, K] (0 identity, ±1 sign). One kernel
+    runs the whole pairwise tree in VMEM — the jnp path writes 9 coordinate
+    arrays to HBM per tree level. Wide K is reduced in chunks of <= 512.
+    """
+    lead = x.shape[1:-1]
+    k = x.shape[-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x = x.reshape(FP_LIMBS, m, k)
+    y = y.reshape(FP_LIMBS, m, k)
+    flag = flag.reshape(m, k).astype(jnp.int32)
+
+    while True:
+        kc = min(128, k)
+        mm = m * (k // kc)
+        xx = x.reshape(FP_LIMBS, mm, kc)
+        yy = y.reshape(FP_LIMBS, mm, kc)
+        ff = flag.reshape(mm, kc)
+        mt = _pick_tile(mm, kc)
+
+        const_arrays = _fp_const_arrays_tree()
+        nconst = len(const_arrays)
+
+        def kernel(*refs):
+            crefs = refs[:nconst]
+            xr, yr, fr = refs[nconst : nconst + 3]
+            ox, oy, oz = refs[nconst + 3 :]
+            table = {
+                arr.tobytes(): cref[:] for arr, cref in zip(const_arrays, crefs)
+            }
+            with F.device_consts(table):
+                one = crefs[-1][:].reshape(FP_LIMBS, 1, 1)
+                out = _tree_kernel_body(xr[:], yr[:], fr[:], one)
+            ox[:] = out.x
+            oy[:] = out.y
+            oz[:] = out.z
+
+        cspec = pl.BlockSpec(
+            (FP_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        dspec = pl.BlockSpec(
+            (FP_LIMBS, mt, kc), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        fspec = pl.BlockSpec((mt, kc), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec(
+            (FP_LIMBS, mt), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        cin = [
+            jnp.asarray(a, jnp.int32).reshape(FP_LIMBS, 1) for a in const_arrays
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(mm // mt,),
+            in_specs=[cspec] * nconst + [dspec, dspec, fspec],
+            out_specs=tuple([ospec] * 3),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((FP_LIMBS, mm), jnp.int32) for _ in range(3)
+            ),
+            interpret=_interpret(),
+        )(*cin, xx, yy, ff)
+        p = C.G1(*outs)
+        if k == kc:
+            return C.G1(*(c.reshape((FP_LIMBS,) + tuple(lead)) for c in p))
+        # chunked: outputs are projective partial sums [L, m, k/kc]; finish
+        # with plain projective tree adds (narrow, cheap)
+        k = k // kc
+        part = C.G1(*(c.reshape(FP_LIMBS, m, k) for c in p))
+        while k > 1:
+            h = k // 2
+            lo = C.G1(*(c[..., :h] for c in part))
+            hi = C.G1(*(c[..., h:] for c in part))
+            part = g1_add(lo, hi)
+            k = h
+        return C.G1(
+            *(c[..., 0].reshape((FP_LIMBS,) + tuple(lead)) for c in part)
+        )
+
+
+def _spec_const_arrays_inv(spec: F.FieldSpec) -> list[np.ndarray]:
+    return _spec_const_arrays(spec) + [np.asarray(spec.one_mont)]
+
+
+def batch_inverse_flat(spec: F.FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise Montgomery inverse of a [L, N] limb array as ONE kernel.
+
+    Montgomery's trick (blocked prefix products over chunks of K=32) with the
+    block-total Fermat exponentiation a^(p-2) run *inside* the kernel as a
+    fori_loop over exponent bits — the jnp path launches ~570 tiny sequential
+    XLA ops for the same chain and is launch-latency-bound. Zero lanes poison
+    their 32-element block (same contract as the jnp fallback).
+    """
+    nl = spec.nlimbs
+    n = a.shape[1]
+    k = 32
+    c = max(1, -(-n // k))
+    c = _round_up(c, 128)
+    npad = k * c
+    if npad != n:
+        ones = spec.broadcast_const(spec.one_mont, (npad - n,))
+        a = jnp.concatenate([a, ones], axis=1)
+    x = a.reshape(nl, k, c)
+
+    exponent = spec.modulus - 2
+    nbits = exponent.bit_length()
+    bits = np.array(
+        [[(exponent >> (nbits - 1 - t)) & 1] for t in range(nbits)], np.int32
+    )
+
+    const_arrays = _spec_const_arrays_inv(spec)
+    nconst = len(const_arrays)
+    ct = min(512, c)
+
+    def kernel(*refs):
+        bits_ref = refs[0]
+        crefs = refs[1 : 1 + nconst]
+        x_ref = refs[1 + nconst]
+        out_ref = refs[2 + nconst]
+        scratch = refs[3 + nconst]
+        table = {
+            arr.tobytes(): cref[:] for arr, cref in zip(const_arrays, crefs)
+        }
+        with F.device_consts(table):
+            one = jnp.broadcast_to(
+                crefs[-1][:].reshape(nl, 1), (nl, x_ref.shape[-1])
+            )
+
+            def fwd(i, carry):
+                scratch[:, pl.ds(i, 1), :] = carry[:, None]
+                xi = x_ref[:, pl.ds(i, 1), :][:, 0]
+                return F.mont_mul_values(spec, carry, xi)
+
+            total = jax.lax.fori_loop(0, k, fwd, one)
+
+            def pow_body(t, acc):
+                acc = F.mont_mul_values(spec, acc, acc)
+                m = F.mont_mul_values(spec, acc, total)
+                return jnp.where(bits_ref[t, 0] != 0, m, acc)
+
+            inv = jax.lax.fori_loop(0, nbits, pow_body, one)
+
+            def bwd(j, carry):
+                i = k - 1 - j
+                xi = x_ref[:, pl.ds(i, 1), :][:, 0]
+                pi = scratch[:, pl.ds(i, 1), :][:, 0]
+                out_ref[:, pl.ds(i, 1), :] = F.mont_mul_values(
+                    spec, carry, pi
+                )[:, None]
+                return F.mont_mul_values(spec, carry, xi)
+
+            jax.lax.fori_loop(0, k, bwd, inv)
+
+    bspec = pl.BlockSpec((nbits, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    cspec = pl.BlockSpec((nl, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec(
+        (nl, k, ct), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    cin = [jnp.asarray(arr, jnp.int32).reshape(nl, 1) for arr in const_arrays]
+    out = pl.pallas_call(
+        kernel,
+        grid=(c // ct,),
+        in_specs=[bspec] + [cspec] * nconst + [dspec],
+        out_specs=dspec,
+        out_shape=jax.ShapeDtypeStruct((nl, k, c), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nl, k, ct), jnp.int32)],
+        interpret=_interpret(),
+    )(jnp.asarray(bits), *cin, x)
+    return out.reshape(nl, npad)[:, :n]
 
 
 def mont_mul(spec: F.FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -5,77 +5,131 @@ expensive context initialization (SRS group-FFTs + MSM window tables,
 benchmarked at /root/reference/crates/eip7594/benches/benchmark-mt.rs:103-113)
 is recomputed every process start. Here we snapshot the FK20 prover's device
 tables to an .npz so later sessions skip the init entirely (SURVEY.md §5
-checkpoint/resume parity).
+checkpoint/resume parity). `try_load_tables` runs *before* the device build,
+so a cache hit skips the SRS group-FFT and the table scans outright.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import jax.numpy as jnp
 import numpy as np
 
+# Bump when the FixedBaseMSM table memory layout changes.
+LAYOUT_VERSION = 2
+
+
+def srs_fingerprint(commit_key_points: list) -> str:
+    """Content hash of the host SRS points ((x, y) int tuples or None)."""
+    h = hashlib.sha256()
+    h.update(str(len(commit_key_points)).encode())
+    for pt in commit_key_points:
+        h.update(repr(pt).encode())
+    return h.hexdigest()[:16]
+
+
+def _table_arrays(prefix: str, tables) -> dict:
+    return {
+        f"{prefix}_rows": np.asarray(tables.table_rows),
+        f"{prefix}_inf": np.asarray(tables.table_inf),
+        f"{prefix}_meta": np.asarray(
+            [tables.window, tables.instance_ndim, tables.chains, tables.wpc]
+        ),
+    }
+
+
+def _table_from(data, prefix: str):
+    from ..ops.msm import FixedBaseMSM
+
+    meta = data[f"{prefix}_meta"]
+    return FixedBaseMSM(
+        table_rows=jnp.asarray(data[f"{prefix}_rows"]),
+        table_inf=jnp.asarray(data[f"{prefix}_inf"]),
+        window=int(meta[0]),
+        instance_ndim=int(meta[1]),
+        chains=int(meta[2]),
+        wpc=int(meta[3]),
+    )
+
+
+def save_tables_file(path: str, fingerprint: str, fk20=None, commit=None) -> None:
+    """Snapshot built MSM tables keyed by layout version + SRS fingerprint."""
+    arrays = {
+        "layout_version": np.asarray(LAYOUT_VERSION),
+        "fingerprint": np.asarray(fingerprint),
+    }
+    if fk20 is not None:
+        arrays.update(_table_arrays("fk20", fk20))
+    if commit is not None:
+        arrays.update(_table_arrays("commit", commit))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp.npz"
+    # uncompressed: limb data is high-entropy, compression only costs minutes
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def try_load_tables(path: str, fingerprint: str, fk20_window, commit_window):
+    """Load (fk20_tables, commit_tables) if the snapshot matches; else None.
+
+    Matching = same layout version, same SRS content hash, same window widths
+    for whichever tables the config enables.
+    """
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        data = np.load(path)
+        if int(data["layout_version"]) != LAYOUT_VERSION:
+            return None
+        if str(data["fingerprint"]) != fingerprint:
+            return None
+        fk20 = commit = None
+        if fk20_window is not None:
+            fk20 = _table_from(data, "fk20")
+            if fk20.window != fk20_window:
+                return None
+        if commit_window is not None:
+            commit = _table_from(data, "commit")
+            if commit.window != commit_window:
+                return None
+        return fk20, commit
+    except (KeyError, OSError, ValueError):
+        return None
+
+
+# --- legacy prover-object helpers (kept for the public save/load API) ---
+
 
 def save_prover_tables(prover, path: str) -> None:
-    arrays = {}
-    if prover.tables is not None:
-        arrays.update(
-            fk20_x=np.asarray(prover.tables.table_x),
-            fk20_y=np.asarray(prover.tables.table_y),
-            fk20_inf=np.asarray(prover.tables.table_inf),
-            fk20_window=np.asarray(prover.tables.window),
-            fk20_chains=np.asarray(prover.tables.chains),
-            fk20_wpc=np.asarray(prover.tables.wpc),
-        )
-    if prover.commit_tables is not None:
-        arrays.update(
-            commit_x=np.asarray(prover.commit_tables.table_x),
-            commit_y=np.asarray(prover.commit_tables.table_y),
-            commit_inf=np.asarray(prover.commit_tables.table_inf),
-            commit_window=np.asarray(prover.commit_tables.window),
-            commit_chains=np.asarray(prover.commit_tables.chains),
-            commit_wpc=np.asarray(prover.commit_tables.wpc),
-        )
-    tmp = path + ".tmp.npz"
-    np.savez_compressed(tmp, **arrays)
-    os.replace(tmp, path)
+    save_tables_file(
+        path,
+        getattr(prover, "_srs_fingerprint", ""),
+        fk20=prover.tables,
+        commit=prover.commit_tables,
+    )
 
 
 def load_prover_tables(prover, path: str) -> bool:
     """Restore tables in place; returns False if the snapshot is missing or
-    shaped for a different config/window."""
-    from ..ops.msm import FixedBaseMSM
-
-    if not os.path.exists(path):
+    shaped for a different config/window/SRS."""
+    cfg = prover.config
+    loaded = try_load_tables(
+        path,
+        getattr(prover, "_srs_fingerprint", ""),
+        cfg.fk20_window,
+        cfg.commit_window,
+    )
+    if loaded is None:
         return False
-    data = np.load(path)
-    try:
-        if prover.tables is not None:
-            if int(data["fk20_window"]) != prover.tables.window or data[
-                "fk20_x"
-            ].shape != tuple(prover.tables.table_x.shape):
-                return False
-            prover.tables = FixedBaseMSM(
-                table_x=jnp.asarray(data["fk20_x"]),
-                table_y=jnp.asarray(data["fk20_y"]),
-                table_inf=jnp.asarray(data["fk20_inf"]),
-                window=int(data["fk20_window"]),
-                instance_ndim=prover.tables.instance_ndim,
-                chains=int(data["fk20_chains"]),
-                wpc=int(data["fk20_wpc"]),
-            )
-        if prover.commit_tables is not None:
-            if int(data["commit_window"]) != prover.commit_tables.window:
-                return False
-            prover.commit_tables = FixedBaseMSM(
-                table_x=jnp.asarray(data["commit_x"]),
-                table_y=jnp.asarray(data["commit_y"]),
-                table_inf=jnp.asarray(data["commit_inf"]),
-                window=int(data["commit_window"]),
-                instance_ndim=0,
-                chains=int(data["commit_chains"]),
-                wpc=int(data["commit_wpc"]),
-            )
-    except KeyError:
-        return False
+    fk20, commit = loaded
+    if fk20 is not None:
+        if prover.tables is not None and fk20.table_rows.shape != tuple(
+            prover.tables.table_rows.shape
+        ):
+            return False
+        prover.tables = fk20
+    if commit is not None:
+        prover.commit_tables = commit
     return True

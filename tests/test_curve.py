@@ -102,3 +102,34 @@ def test_glv_scalar_mul():
     )
     want = [B.g1_mul(p, k) if p else None for p, k in zip(ps, ks)]
     assert got == want
+
+
+def test_add_affine_vs_oracle():
+    n = 8
+    ps = rand_points(n)
+    qs = rand_points(n)
+    # supported exception lanes (equal non-identity points are excluded by
+    # contract — see curve.add_affine_values)
+    ps[0], qs[0] = None, None  # inf + inf
+    ps[1] = None  # inf + q
+    qs[2] = None  # p + inf
+    qs[3] = B.g1_neg(ps[3])  # p + (-p) = inf
+    pa, qa = C.affine_to_device(ps), C.affine_to_device(qs)
+    got = C.points_from_device(C.add_affine(pa, qa))
+    want = [B.g1_add(p, q) for p, q in zip(ps, qs)]
+    assert got == want
+
+
+def test_add_affine_negated_y():
+    # window sums feed negated table entries: y enters as 2p - y (lazy bound)
+    from rust_eth_kzg_tpu.ops import field as F
+
+    n = 4
+    ps = rand_points(n)
+    qs = rand_points(n)
+    pa = C.affine_to_device(ps)
+    qa = C.affine_to_device(qs)
+    qa = C.G1Affine(x=qa.x, y=F.neg(F.FP, qa.y, kp=2), inf=qa.inf)
+    got = C.points_from_device(C.add_affine(pa, qa))
+    want = [B.g1_add(p, B.g1_neg(q)) for p, q in zip(ps, qs)]
+    assert got == want

@@ -65,3 +65,28 @@ def test_g1_add_identity_lanes():
     idp = C.identity((4,))
     got = PK.g1_add(p, idp)
     assert bool(jnp.all(C.equal(got, p)))
+
+
+def test_g1_add_affine_kernel_matches_jnp():
+    p = _random_points(6, 4)
+    q = _random_points(6, 5)
+    pa, qa = C.batch_normalize(p), C.batch_normalize(q)
+    got = PK.g1_add_affine(pa, qa)
+    want = jax.jit(C.add_affine_values)(pa, qa)
+    assert bool(jnp.all(C.equal(got, want)))
+    # identity lanes pass the other operand through
+    inf_mask = jnp.asarray([True, False, True, False, False, False])
+    qa_inf = C.G1Affine(x=qa.x, y=qa.y, inf=inf_mask)
+    got_i = PK.g1_add_affine(pa, qa_inf)
+    want_i = jax.jit(C.add_affine_values)(pa, qa_inf)
+    assert bool(jnp.all(C.equal(got_i, want_i)))
+
+
+def test_batch_inverse_kernel_matches_jnp():
+    rng = np.random.default_rng(6)
+    for spec in (F.FR, F.FP):
+        vals = [int(x) for x in rng.integers(1, 2**61, size=333)]
+        limbs = jnp.asarray(spec.to_mont_host(vals)).reshape(spec.nlimbs, 333)
+        got = PK.batch_inverse_flat(spec, limbs)
+        inv = spec.from_mont_host(np.asarray(got))
+        assert inv == [pow(v, -1, spec.modulus) for v in vals]
