@@ -85,12 +85,16 @@ def signed_digits(scalars_mont: jnp.ndarray, window: int) -> jnp.ndarray:
 class FixedBaseMSM:
     """Precomputed window tables for a fixed point set.
 
-    table_rows: [*instance, chains*P, D, 2*FP_LIMBS] — the affine Montgomery
-    x-limbs then y-limbs of d * (2^(window*wpc*j) point_i) for d = 1..D
-    (D = 2^(w-1)), chain j = 0..chains-1, stored row-major so one window
-    lookup is a single 208-byte contiguous gather instead of 52 scattered
-    element gathers. table_inf: [*instance, chains*P, D] identity mask
-    (set when the base point itself is the identity).
+    table_rows: [*instance, chains*P, 2*FP_LIMBS, D] float32 — the affine
+    Montgomery x-limbs then y-limbs (each limb < 2^15, exact in f32) of
+    d * (2^(window*wpc*j) point_i) for d = 1..D (D = 2^(w-1)), chain
+    j = 0..chains-1. The f32/limbs-by-D layout exists because table lookups
+    run as one-hot MXU matmuls: XLA's native gather moves ~1 GB/s on this
+    table while a batched [2L, D] x [D, n_digit_rows] matmul streams it at
+    matrix-unit speed (and one matmul serves every window at once).
+    base_inf: [*instance, chains*P] identity mask of the base points (every
+    multiple of an identity base is the identity, so no per-entry mask is
+    needed).
 
     `chains` is the Lim-Lee comb factor: scalar windows are split across
     `chains` pre-scaled copies of the point set, shrinking the sequential
@@ -99,7 +103,7 @@ class FixedBaseMSM:
     """
 
     table_rows: jnp.ndarray
-    table_inf: jnp.ndarray
+    base_inf: jnp.ndarray
     window: int
     # number of leading "instance" axes in the table's point dims: the tables
     # may hold many independent MSM problems (FK20 keeps one 64-point MSM per
@@ -112,8 +116,12 @@ class FixedBaseMSM:
     def num_points(self) -> int:
         return self.table_rows.shape[-3] // self.chains
 
+    @property
+    def digits_per_entry(self) -> int:
+        return self.table_rows.shape[-1]
+
     def tree_flatten(self):
-        return (self.table_rows, self.table_inf), (
+        return (self.table_rows, self.base_inf), (
             self.window,
             self.instance_ndim,
             self.chains,
@@ -145,14 +153,22 @@ def _table_chunk(acc: C.G1, base_aff: C.G1Affine, dc: int):
 
 @jax.jit
 def _rows_layout(aff_x: jnp.ndarray, aff_y: jnp.ndarray) -> jnp.ndarray:
-    """[L, *pts, dc] x/y limb arrays -> [*pts, dc, 2L] row-major layout."""
-    x = jnp.moveaxis(aff_x, 0, -1)
-    y = jnp.moveaxis(aff_y, 0, -1)
-    return jnp.concatenate([x, y], axis=-1)
+    """[L, *pts, dc] x/y limb arrays -> [*pts, 4L, dc] bf16 matmul layout.
+
+    Each 15-bit limb is split into 8-bit hi/lo halves so the one-hot table
+    matmul is exact at the MXU's native bf16 rate (bf16 has an 8-bit
+    mantissa; f32 dots at DEFAULT precision also round through bf16 passes).
+    Row order: [x_hi, y_hi, x_lo, y_lo], each block 2L rows.
+    """
+    rows = jnp.concatenate([aff_x, aff_y], axis=0)  # [2L, *pts, dc]
+    hi = rows >> 8
+    lo = rows & 0xFF
+    split = jnp.concatenate([hi, lo], axis=0)  # [4L, *pts, dc]
+    return jnp.moveaxis(split, 0, -2).astype(jnp.bfloat16)
 
 
 def _build_tables(points: C.G1, window: int):
-    """points: G1 [P] -> multiples 1..2^(w-1) as row-major affine tables.
+    """points: G1 [P] -> multiples 1..2^(w-1) as [P, 2L, D] f32 tables.
 
     Built in chunks along the multiples axis: normalizing all P * 2^(w-1)
     points in one program needs several live copies of the full table and
@@ -161,15 +177,11 @@ def _build_tables(points: C.G1, window: int):
     base_aff = C.batch_normalize(points)
     dc = min(16, d)
     acc = points
-    rows, infs = [], []
+    rows = []
     for _ in range(d // dc):
         acc, aff = _table_chunk(acc, base_aff, dc)
         rows.append(_rows_layout(aff.x, aff.y))
-        infs.append(aff.inf)
-    return (
-        jnp.concatenate(rows, axis=-2),
-        jnp.concatenate(infs, axis=-1),
-    )
+    return jnp.concatenate(rows, axis=-1), base_aff.inf
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -204,10 +216,10 @@ def build_fixed_base_msm(
     wpc = -(-n_win // chains)
     if chains > 1:
         points = _chain_scaled_points(points, chains, window * wpc)
-    rows, tinf = _build_tables(points, window)
+    rows, base_inf = _build_tables(points, window)
     return FixedBaseMSM(
         table_rows=rows,
-        table_inf=tinf,
+        base_inf=base_inf,
         window=window,
         instance_ndim=instance_ndim,
         chains=chains,
@@ -215,38 +227,57 @@ def build_fixed_base_msm(
     )
 
 
-def _window_sum(tables: FixedBaseMSM, d: jnp.ndarray, batch_ndim: int) -> C.G1:
-    """Sum of +/- table[|d_i|] over the point axis for one window's digits.
+def _gather_rows(tables: FixedBaseMSM, idx: jnp.ndarray):
+    """Look up table rows for every window at once as one one-hot MXU matmul.
 
-    d: [*batch, *instance, P] signed digits. Returns G1 [*batch, *instance].
-    One contiguous 2L-wide row gather per digit (the element-strided gather
-    of the limb-major layout was ~5x slower), then a fused in-VMEM pairwise
-    addition tree (pallas_kernels.g1_tree_sum).
+    idx: [W, *lead, *inst, CP] clamped digit indices (|d|-1). Returns
+    (gx, gy) int32 limb arrays [FP_LIMBS, W, *lead, *inst, CP]. The batched
+    [2L, D] x [D, W*lead] matmul per (inst, point) streams the whole table
+    through the MXU once for all windows — XLA's native gather on this table
+    runs ~1 GB/s and was 90% of MSM time.
     """
-    from . import pallas_kernels as PK
+    tbl = tables.table_rows  # [*inst, CP, 4L, D] bf16 (8-bit hi/lo splits)
+    inst_cp = tbl.shape[:-2]
+    fourl, dcount = tbl.shape[-2], tbl.shape[-1]
+    twol = fourl // 2
+    ncp = len(inst_cp)
+    sp = int(np.prod(inst_cp, dtype=np.int64))
+    lead = idx.shape[: idx.ndim - ncp]  # (W, *lead)
+    wb = int(np.prod(lead, dtype=np.int64))
 
-    pad = batch_ndim - tables.instance_ndim
-    idx = jnp.maximum(jnp.abs(d) - 1, 0)
-    trows = tables.table_rows.reshape((1,) * pad + tables.table_rows.shape)
-    rows = jnp.take_along_axis(trows, idx[..., None, None], axis=-2)[..., 0, :]
-    ginf = jnp.take_along_axis(
-        tables.table_inf.reshape((1,) * pad + tables.table_inf.shape),
-        idx[..., None],
-        axis=-1,
-    )[..., 0]
-    gx = jnp.moveaxis(rows[..., :FP_LIMBS], -1, 0)
-    gy = jnp.moveaxis(rows[..., FP_LIMBS:], -1, 0)
-    inf = jnp.logical_or(d == 0, ginf)
-    # The fully-fused window tree (one kernel per window) is opt-in: at
-    # mainnet shapes its 7 unrolled complete-add levels (~28k vector ops)
-    # explode Mosaic compile time. The per-level pallas adds below compile in
-    # seconds and are within ~15% at batch 8.
-    import os
+    # one-hot of the digit index, [sp, D, wb]; 0/1 is exact in bf16 and each
+    # output is a single 8-bit table half, so the bf16 MXU passes are exact
+    perm = tuple(range(idx.ndim - ncp, idx.ndim)) + tuple(
+        range(idx.ndim - ncp)
+    )
+    idx_t = idx.transpose(perm).reshape(sp, wb)
+    oh = (idx_t[:, None, :] == jnp.arange(dcount, dtype=jnp.int32)[None, :, None])
+    rows4 = jax.lax.dot_general(
+        tbl.reshape(sp, fourl, dcount),
+        oh.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [sp, 4L, wb]
+    rows4 = rows4.astype(jnp.int32).transpose(1, 2, 0)  # [4L, wb, sp]
+    rows = (rows4[:twol] << 8) | rows4[twol:]  # recombine hi/lo
+    rows = rows.reshape((twol,) + lead + inst_cp)
+    return rows[:FP_LIMBS], rows[FP_LIMBS:]
 
-    if PK.enabled() and os.environ.get("KZG_TPU_TREE") == "1":
-        flag = jnp.where(inf, 0, jnp.where(d < 0, -1, 1)).astype(jnp.int32)
-        return PK.g1_tree_sum(gx, gy, flag)
-    gy = F.select(d < 0, F.neg(FP, gy, kp=2), gy)
+
+def _window_sums(tables: FixedBaseMSM, digits: jnp.ndarray) -> C.G1:
+    """Window sums for ALL windows at once.
+
+    digits: [W, *lead, *inst, CP] signed digits. Returns G1 with batch shape
+    [W, *lead, *inst] (the point axis reduced by a chord + complete-add tree).
+    """
+    idx = jnp.maximum(jnp.abs(digits) - 1, 0)
+    gx, gy = _gather_rows(tables, idx)
+    ncp = tables.instance_ndim + 1
+    binf = tables.base_inf.reshape(
+        (1,) * (digits.ndim - ncp) + tables.base_inf.shape
+    )
+    inf = jnp.logical_or(digits == 0, binf)
+    gy = F.select(digits < 0, F.neg(FP, gy, kp=2), gy)
     k = gx.shape[-1]
     if k % 2 == 0 and k > 1:
         # first tree level as an *incomplete* affine chord addition (8 vs 13
@@ -264,7 +295,7 @@ def _window_sum(tables: FixedBaseMSM, d: jnp.ndarray, batch_ndim: int) -> C.G1:
             y=F.select(inf, one, gy),
             z=F.select(inf, zero, one),
         )
-    return C.reduce_sum(proj, axis=batch_ndim + 1)
+    return C.reduce_sum(proj, axis=proj.x.ndim - 1)
 
 
 @jax.jit
@@ -274,15 +305,15 @@ def fixed_base_msm(tables: FixedBaseMSM, scalars_mont: jnp.ndarray) -> C.G1:
     scalars_mont: [FR_LIMBS, *batch, P] with P == tables.num_points. Returns a
     G1 with batch shape [*batch]. Replaces FixedBaseMSMPrecompWindow::msm
     (/root/reference/crates/cryptography/bls12_381/src/fixed_base_msm_window.rs:102-168):
-    Horner over signed windows, sharing the `w` doublings per window across all
-    points and all batched MSM instances. With Lim-Lee chains, window j*wpc+s
-    addresses chain j's pre-scaled copy of the point set, so the Horner runs
-    over only `wpc` steps (each window sum spans chains*P points).
+    all window sums are computed up front (one table matmul + one batched
+    addition tree across every window), then a short Horner scan shares the
+    `w` doublings per window across all points and batched MSM instances.
+    With Lim-Lee chains, window j*wpc+s addresses chain j's pre-scaled copy
+    of the point set, so the Horner runs over only `wpc` steps.
     """
     w = tables.window
     digits = signed_digits(scalars_mont, w)  # [n_win, *batch, P]
     n_win = digits.shape[0]
-    batch_ndim = scalars_mont.ndim - 2
 
     chains, wpc = tables.chains, tables.wpc
     if chains > 1:
@@ -293,19 +324,21 @@ def fixed_base_msm(tables: FixedBaseMSM, scalars_mont: jnp.ndarray) -> C.G1:
         digits = d.reshape((wpc,) + d.shape[1:-2] + (chains * d.shape[-1],))
         n_win = wpc
 
-    acc = _window_sum(tables, digits[n_win - 1], batch_ndim)
+    wsums = _window_sums(tables, digits)  # G1 [n_win, *batch]
     if n_win == 1:
-        return acc
+        return C.G1(*(c[:, 0] for c in wsums))
+
+    acc = C.G1(*(c[:, n_win - 1] for c in wsums))
+    rest = C.G1(*(jnp.moveaxis(c, 1, 0)[n_win - 2 :: -1] for c in wsums))
 
     # Horner over the remaining windows, most significant first, as a scan so
     # the program size stays one window-body regardless of scalar width.
-    def step(acc, d):
+    def step(acc, ws):
         for _ in range(w):
             acc = C.double(acc)
-        acc = C.add(acc, _window_sum(tables, d, batch_ndim))
-        return acc, None
+        return C.add(acc, C.G1(*ws)), None
 
-    acc, _ = jax.lax.scan(step, acc, digits[n_win - 2 :: -1])
+    acc, _ = jax.lax.scan(step, acc, tuple(rest))
     return acc
 
 

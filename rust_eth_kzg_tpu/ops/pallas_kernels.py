@@ -36,10 +36,11 @@ from ..constants import FP_LIMBS
 from . import curve as C
 from . import field as F
 
-# lanes per grid step: [FP_LIMBS, _TILE] int32 blocks; 26x2048x4B = 208 KiB per
-# coordinate block, ~9 blocks of I/O + formula temporaries stay well under the
-# ~16 MiB VMEM budget.
-_TILE = 2048
+# lanes per grid step: [FP_LIMBS, _TILE] int32 blocks. 512 lanes measured
+# fastest for the fused group-op kernels (44 vs 76 ns/lane at 2048 — smaller
+# working sets keep the CIOS temporaries closer to the vector registers);
+# 4096 fails to compile outright.
+_TILE = 512
 _MIN_TILE = 256
 
 

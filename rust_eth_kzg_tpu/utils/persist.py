@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 # Bump when the FixedBaseMSM table memory layout changes.
-LAYOUT_VERSION = 2
+LAYOUT_VERSION = 3
 
 
 def srs_fingerprint(commit_key_points: list) -> str:
@@ -31,9 +31,11 @@ def srs_fingerprint(commit_key_points: list) -> str:
 
 
 def _table_arrays(prefix: str, tables) -> dict:
+    # bf16 is not a native numpy dtype; persist the raw bit pattern
+    rows = np.asarray(tables.table_rows).view(np.uint16)
     return {
-        f"{prefix}_rows": np.asarray(tables.table_rows),
-        f"{prefix}_inf": np.asarray(tables.table_inf),
+        f"{prefix}_rows": rows,
+        f"{prefix}_inf": np.asarray(tables.base_inf),
         f"{prefix}_meta": np.asarray(
             [tables.window, tables.instance_ndim, tables.chains, tables.wpc]
         ),
@@ -41,12 +43,15 @@ def _table_arrays(prefix: str, tables) -> dict:
 
 
 def _table_from(data, prefix: str):
+    import ml_dtypes
+
     from ..ops.msm import FixedBaseMSM
 
     meta = data[f"{prefix}_meta"]
+    rows = data[f"{prefix}_rows"].view(ml_dtypes.bfloat16)
     return FixedBaseMSM(
-        table_rows=jnp.asarray(data[f"{prefix}_rows"]),
-        table_inf=jnp.asarray(data[f"{prefix}_inf"]),
+        table_rows=jnp.asarray(rows),
+        base_inf=jnp.asarray(data[f"{prefix}_inf"]),
         window=int(meta[0]),
         instance_ndim=int(meta[1]),
         chains=int(meta[2]),
@@ -95,7 +100,7 @@ def try_load_tables(path: str, fingerprint: str, fk20_window, commit_window):
             if commit.window != commit_window:
                 return None
         return fk20, commit
-    except (KeyError, OSError, ValueError):
+    except (KeyError, OSError, ValueError, TypeError):
         return None
 
 
