@@ -31,7 +31,7 @@ def main():
     from rust_eth_kzg_tpu.api import DASContext
     from rust_eth_kzg_tpu.ops import field as F
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     window = int(os.environ.get("BENCH_WINDOW", "8"))
 
     cache = os.environ.get(

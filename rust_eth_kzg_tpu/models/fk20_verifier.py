@@ -62,6 +62,17 @@ class FK20Verifier:
             FR.nlimbs, num_cosets, coset_size
         )
         self.tau_pow_n_g2 = g2s[coset_size]
+        self._commit_tables_cache = None
+
+    @property
+    def _commit_tables(self):
+        """Fixed-base MSM tables over the verifier SRS (g1s[:coset_size]),
+        built lazily on the first verify call."""
+        if self._commit_tables_cache is None:
+            self._commit_tables_cache = M.build_fixed_base_msm(
+                C.points_to_device(self.g1s[: self.coset_size]), window=8
+            )
+        return self._commit_tables_cache
 
     def verify(
         self,
@@ -94,30 +105,40 @@ class FK20Verifier:
         commitment_indices = list(commitment_indices) + [0] * pad
         batch = padded
 
-        # 1. random linear combination of the proofs
-        dproofs = C.points_to_device(proofs)
-        r_mont = jnp.asarray(FR.to_mont_host(r_powers))
-        sum_proofs = M.lincomb_host(dproofs, r_powers)
-
-        # 2. weighted combination: weights r_i * h_k^n
+        # 1-3. the three random-linear-combination MSMs (proofs by r_i,
+        # proofs by r_i * h_k^n, dedup commitments by accumulated weights —
+        # verifier.rs:186-225) run as ONE batched GLV double-and-add over a
+        # [3, padded] point array: a single ~130-step scan instead of three
+        # (each scan step is a kernel launch; the verify path is launch-bound)
         weighted = [
             rp * self.coset_gens_pow_n[ci] % R_SCALAR
             for rp, ci in zip(r_powers, coset_indices)
         ]
-        weighted_sum_proofs = M.lincomb_host(dproofs, weighted)
-
-        # 3. commitments with per-commitment accumulated weights (dedup trick,
-        #    verifier.rs:203-225)
         weights = [0] * len(dedup_commitments)
         for ci, rp in zip(commitment_indices, r_powers):
             weights[ci] = (weights[ci] + rp) % R_SCALAR
-        sum_commitments = M.lincomb_host(
-            C.points_to_device(dedup_commitments), weights
+        comm_padded = list(dedup_commitments) + [None] * (
+            batch - len(dedup_commitments)
         )
+        weights_padded = weights + [0] * (batch - len(weights))
+        pts3 = C.points_to_device(list(proofs) * 2 + comm_padded)
+        pts3 = C.G1(*(c.reshape(-1, 3, batch) for c in pts3))
+        b1, n1, b2, n2 = C.glv_bits_host(
+            [int(s) for s in r_powers + weighted + weights_padded]
+        )
+        per_point = C.scalar_mul_glv(
+            pts3,
+            jnp.asarray(b1).reshape(-1, 3, batch),
+            jnp.asarray(n1).reshape(3, batch),
+            jnp.asarray(b2).reshape(-1, 3, batch),
+            jnp.asarray(n2).reshape(3, batch),
+        )
+        sums3 = C.reduce_sum(per_point, axis=2)  # G1 [3]
 
         # 4. random linear combination of the interpolation polynomials:
         #    per coset, un-bit-reverse, coset-IFFT, scale by r_i; all K at once
         # [K, coset, L] standard-form limbs -> [L, K, coset] Montgomery
+        r_mont = jnp.asarray(FR.to_mont_host(r_powers))
         evals = jnp.asarray(np.moveaxis(np.asarray(coset_evals_std), -1, 0))
         evals = F.to_mont(FR, evals)
         evals = ntt.bit_reverse_permutation(evals, axis=-1)
@@ -127,22 +148,33 @@ class FK20Verifier:
         )  # [L, K, coset]
         interp = F.mont_mul(FR, interp, scale_rows)
         interp = F.mont_mul(FR, interp, r_mont[:, :, None])
-        sum_interp_poly = interp  # summed below via matrix-free reduce
-        # sum over K cosets (values < 2p each; reduce with carries via add chain)
-        poly = sum_interp_poly[:, 0]
-        for k in range(1, batch):
-            poly = F.add(FR, poly, sum_interp_poly[:, k])
+        # sum over the K cosets: pairwise tree (log2 K adds, not K)
+        k = interp.shape[1]
+        while k > 1:
+            h = k // 2
+            lo = interp[:, :h]
+            hi = interp[:, h : 2 * h]
+            red = F.add(FR, lo, hi)
+            if k % 2:
+                red = jnp.concatenate([red, interp[:, -1:]], axis=1)
+                k = h + 1
+            else:
+                k = h
+            interp = red
+        poly = interp[:, 0]
 
         # 5. commit to the interpolation polynomial with the verifier SRS
-        comm_interp = M.lincomb(
-            C.points_to_device(self.g1s[: self.coset_size]), poly
-        )
+        #    (precomputed fixed-base tables; MXU one-hot lookup path)
+        comm_interp = M.fixed_base_msm(self._commit_tables, poly[:, None, :])
 
-        # 6. closing pairing check (verifier.rs:227-260)
-        sp, wsp, sc, cip = (
-            C.points_from_device(p)[0]
-            for p in (sum_proofs, weighted_sum_proofs, sum_commitments, comm_interp)
+        # 6. closing pairing check (verifier.rs:227-260), one device fetch
+        all4 = C.G1(
+            *(
+                jnp.concatenate([s, ci], axis=-1)
+                for s, ci in zip(sums3, comm_interp)
+            )
         )
+        sp, wsp, sc, cip = C.points_from_device(all4)
         pairing_input = bls.g1_add(bls.g1_add(sc, bls.g1_neg(cip)), wsp)
         ok = native.multi_pairings(
             [(sp, self.tau_pow_n_g2), (pairing_input, bls.g2_neg(bls.G2_GEN))]

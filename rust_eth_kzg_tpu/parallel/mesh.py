@@ -30,9 +30,12 @@ from ..ops import field as F
 FR = F.FR
 
 
-def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
-    """Build a (dp, work) mesh over the available devices."""
-    devices = jax.devices()
+def make_mesh(
+    n_devices: int | None = None, dp: int | None = None, devices=None
+) -> Mesh:
+    """Build a (dp, work) mesh over the available devices (or `devices`)."""
+    if devices is None:
+        devices = jax.devices()
     n = n_devices or len(devices)
     devices = np.array(devices[:n])
     if dp is None:
