@@ -347,24 +347,58 @@ def scalar_mul_glv(
     bits2: jnp.ndarray,
     neg2: jnp.ndarray,
 ) -> G1:
-    """k*p via the GLV split: one shared double-and-add over ~129 bits with a
-    4-entry on-the-fly table {O, P1, P2, P1+P2}.
+    """k*p via the GLV split with width-2 windows: a 16-entry on-the-fly
+    table {a*P1 + b*P2 : a, b in 0..3} turns the ~130-bit double-and-add into
+    65 iterations of (2 doublings + 1 table add) — the sequential step count
+    is what dominates on narrow batches (G1-FFT twiddles, verifier MSMs).
 
     bits*: [GLV_NBITS, *batch] MSB-first; neg*: [*batch].
     """
     p1 = select(neg1, neg(p), p)
     phi = glv_endomorphism(p)
     p2 = select(neg2, neg(phi), phi)
-    p12 = add(p1, p2)
     ident = identity(p.batch_shape)
 
-    def step(acc, bb):
-        b1, b2 = bb
-        acc = double(acc)
-        t = select(b2, select(b1, p12, p2), select(b1, p1, ident))
-        return add(acc, t), None
+    # table[a*4+b] = a*P1 + b*P2 (16 entries, batched); 2 doublings + 11 adds
+    p1_2 = double(p1)
+    p1_3 = add(p1_2, p1)
+    p2_2 = double(p2)
+    p2_3 = add(p2_2, p2)
+    row0 = [ident, p2, p2_2, p2_3]
+    row1 = [add(a, p1) for a in row0]
+    row2 = [add(a, p1_2) for a in row0]
+    row3 = [add(a, p1_3) for a in row0]
+    entries = row0 + row1 + row2 + row3
+    table = G1(
+        *(jnp.stack([e[i] for e in entries]) for i in range(3))
+    )  # [16, L, *batch]
 
-    acc, _ = jax.lax.scan(step, ident, (bits1, bits2))
+    # 2-bit MSB-first digits: d = (4*d1 + d2) indexes the table
+    nb = bits1.shape[0]
+    assert nb % 2 == 0
+    d1 = 2 * bits1[0::2].astype(jnp.int32) + bits1[1::2].astype(jnp.int32)
+    d2 = 2 * bits2[0::2].astype(jnp.int32) + bits2[1::2].astype(jnp.int32)
+    digits = 4 * d1 + d2  # [nb/2, *batch] in 0..15
+
+    def pick(tab, d):
+        """Binary select tree over the leading size-16 axis; d: [*batch]."""
+        k = tab.x.shape[0]
+        bit = 8
+        while k > 1:
+            h = k // 2
+            m = (d & bit) != 0
+            tab = G1(
+                *(jnp.where(m[None, None], c[h:], c[:h]) for c in tab)
+            )
+            k = h
+            bit >>= 1
+        return G1(*(c[0] for c in tab))
+
+    def step(acc, d):
+        acc = double(double(acc))
+        return add(acc, pick(table, d)), None
+
+    acc, _ = jax.lax.scan(step, ident, digits)
     return acc
 
 

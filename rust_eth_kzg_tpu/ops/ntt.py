@@ -89,34 +89,6 @@ def _pair_schedule(size: int, gen: int):
     return idx_a, idx_b, perm, tw
 
 
-def _stage_schedule(size: int, gen: int):
-    """Uniform butterfly schedule for all stages.
-
-    Returns (idx_a [S,n], idx_b [S,n], upper [S,n], tw_ints [S,n]):
-    stage s has blocks of 2h (h = 2^s); position i reads a = x[idx_a], b =
-    x[idx_b] and writes a + w*b (lower half) or a - w*b (upper half), with
-    w = w_{2h}^(i mod h).
-    """
-    log_n = size.bit_length() - 1
-    idx_a = np.zeros((log_n, size), dtype=np.int64)
-    idx_b = np.zeros((log_n, size), dtype=np.int64)
-    upper = np.zeros((log_n, size), dtype=bool)
-    tw = np.zeros((log_n, size), dtype=object)
-    i = np.arange(size)
-    for s in range(log_n):
-        h = 1 << s
-        pos = i & (2 * h - 1)
-        is_up = pos >= h
-        base = i - np.where(is_up, h, 0)
-        idx_a[s] = base
-        idx_b[s] = base + h
-        upper[s] = is_up
-        step = pow(gen, size >> (s + 1), R_SCALAR)
-        pows = [pow(step, int(p % h), R_SCALAR) for p in pos]
-        tw[s] = np.array(pows, dtype=object)
-    return idx_a, idx_b, upper, tw
-
-
 class Domain:
     """Roots-of-unity domain of power-of-two size over Fr."""
 
@@ -136,14 +108,16 @@ class Domain:
 
         self._sched = {}
         for tag, gen in (("fwd", self.generator), ("inv", self.generator_inv)):
-            idx_a, idx_b, upper, tw = _stage_schedule(size, gen)
-            tw_mont = np.stack(
-                [FR.to_mont_host(list(row)) for row in tw], axis=0
-            )  # [S, L, n]
+            idx_a, idx_b, perm, tw = _pair_schedule(size, gen)
+            tw_mont = (
+                np.stack([FR.to_mont_host(list(row)) for row in tw], axis=0)
+                if size > 1
+                else np.zeros((0, FR.nlimbs, 0))
+            )  # [S, L, n/2]
             self._sched[tag] = (
                 jnp.asarray(idx_a),
                 jnp.asarray(idx_b),
-                jnp.asarray(upper),
+                jnp.asarray(perm),
                 jnp.asarray(tw_mont),
             )
         self._size_inv_mont = np.asarray(FR.to_mont_host([self.size_inv]))[:, 0]
@@ -152,24 +126,45 @@ class Domain:
     # --- scalar transforms: x is [L, B, n] (or [L, n]) Montgomery limbs ---
 
     def _dit(self, x, tag):
+        from . import pallas_kernels as PK
+
         squeeze = x.ndim == 2
         if squeeze:
             x = x[:, None, :]
         nl, b, n = x.shape
         assert n == self.size, f"expected size {self.size}, got {n}"
         x = bit_reverse_permutation(x, axis=-1)
-        idx_a, idx_b, upper, tw = self._sched[tag]
+        if n == 1:
+            return x[:, 0, :] if squeeze else x
+        idx_a, idx_b, perm, tw = self._sched[tag]
+        fused = PK.enabled()
+
+        def butterfly(a, bb, w):
+            if fused:
+                return PK.field_butterfly(FR, a, bb, w)
+            t = F.mont_mul(FR, bb, w)
+            return F.add(FR, a, t), F.sub(FR, a, t, 2)
+
+        # stage 0: all twiddles are 1 — plain add/sub on the distinct pairs
+        a0 = jnp.take(x, idx_a[0], axis=-1)
+        b0 = jnp.take(x, idx_b[0], axis=-1)
+        cat0 = jnp.concatenate(
+            [F.add(FR, a0, b0), F.sub(FR, a0, b0, 2)], axis=-1
+        )
+        x = jnp.take(cat0, perm[0], axis=-1)
 
         def stage(x, args):
-            ia, ib, up, w = args
+            ia, ib, pm, w = args
             a = jnp.take(x, ia, axis=-1)
             bb = jnp.take(x, ib, axis=-1)
-            t = F.mont_mul(FR, bb, w[:, None, :])
-            plus = F.add(FR, a, t)
-            minus = F.sub(FR, a, t, 2)
-            return jnp.where(up[None, None, :], minus, plus), None
+            plus, minus = butterfly(a, bb, w[:, None, :])
+            cat = jnp.concatenate([plus, minus], axis=-1)
+            return jnp.take(cat, pm, axis=-1), None
 
-        x, _ = jax.lax.scan(stage, x, (idx_a, idx_b, upper, tw))
+        if n > 2:
+            x, _ = jax.lax.scan(
+                stage, x, (idx_a[1:], idx_b[1:], perm[1:], tw[1:])
+            )
         return x[:, 0, :] if squeeze else x
 
     @partial(jax.jit, static_argnums=0)

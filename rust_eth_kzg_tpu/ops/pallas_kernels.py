@@ -219,140 +219,39 @@ def g1_add_affine(a: C.G1Affine, b: C.G1Affine) -> C.G1:
     return _g1_call(body, ins, batch)
 
 
-def _fp_const_arrays_tree() -> list[np.ndarray]:
-    return _fp_const_arrays()
-
-
-def _tree_kernel_body(x, y, flag, one):
-    """Reduce the trailing point axis by pairwise complete additions.
-
-    x, y: [L, Mt, K] canonical affine Montgomery limbs; flag: [Mt, K] int32
-    with 0 = identity lane, -1 = negate y, +1 = as-is. Returns projective
-    coordinate triple [L, Mt]. The first level is a mixed addition (both
-    operands affine, ~11 vs 14 field muls); the rest are full adds.
-    """
-    inf = flag == 0
-    negm = flag < 0
-    y = jnp.where(negm[None], F.neg_values(F.FP, y, kp=2), y)
-    k = x.shape[-1]
-    if k > 1:
-        h = k // 2
-        lo = C.G1Affine(x=x[..., :h], y=y[..., :h], inf=inf[..., :h])
-        hi = C.G1Affine(x=x[..., h:], y=y[..., h:], inf=inf[..., h:])
-        p = C.add_affine_values(lo, hi)
-        k = h
-    else:
-        zero = jnp.zeros_like(x)
-        onef = jnp.broadcast_to(one, y.shape)
-        p = C.G1(
-            jnp.where(inf[None], zero, x),
-            jnp.where(inf[None], onef, y),
-            jnp.where(inf[None], zero, onef),
-        )
-    while k > 1:
-        h = k // 2
-        lo = C.G1(*(c[..., :h] for c in p))
-        hi = C.G1(*(c[..., h:] for c in p))
-        p = C.add_values(lo, hi)
-        k = h
-    return C.G1(*(c[..., 0] for c in p))
-
-
-def _pick_tile(m: int, k: int) -> int:
-    """Output blocks are [L, mt]: Mosaic needs mt divisible by 128 (lane
-    dim) or equal to m. Budget ~16k lanes per block keeps the tree's live
-    temporaries inside VMEM."""
-    budget = max(1, 16384 // k)
-    for cand in (1024, 512, 256, 128):
-        if cand <= budget and m % cand == 0 and m != cand:
-            return cand
-    return m
-
-
-def g1_tree_sum(x: jnp.ndarray, y: jnp.ndarray, flag: jnp.ndarray) -> C.G1:
-    """Sum of (masked/signed) affine points over the trailing axis, fused.
-
-    x, y: [L, *lead, K]; flag: [*lead, K] (0 identity, ±1 sign). One kernel
-    runs the whole pairwise tree in VMEM — the jnp path writes 9 coordinate
-    arrays to HBM per tree level. Wide K is reduced in chunks of <= 512.
-    """
-    lead = x.shape[1:-1]
-    k = x.shape[-1]
-    m = 1
-    for d in lead:
-        m *= d
-    x = x.reshape(FP_LIMBS, m, k)
-    y = y.reshape(FP_LIMBS, m, k)
-    flag = flag.reshape(m, k).astype(jnp.int32)
-
-    while True:
-        kc = min(128, k)
-        mm = m * (k // kc)
-        xx = x.reshape(FP_LIMBS, mm, kc)
-        yy = y.reshape(FP_LIMBS, mm, kc)
-        ff = flag.reshape(mm, kc)
-        mt = _pick_tile(mm, kc)
-
-        const_arrays = _fp_const_arrays_tree()
-        nconst = len(const_arrays)
-
-        def kernel(*refs):
-            crefs = refs[:nconst]
-            xr, yr, fr = refs[nconst : nconst + 3]
-            ox, oy, oz = refs[nconst + 3 :]
-            table = {
-                arr.tobytes(): cref[:] for arr, cref in zip(const_arrays, crefs)
-            }
-            with F.device_consts(table):
-                one = crefs[-1][:].reshape(FP_LIMBS, 1, 1)
-                out = _tree_kernel_body(xr[:], yr[:], fr[:], one)
-            ox[:] = out.x
-            oy[:] = out.y
-            oz[:] = out.z
-
-        cspec = pl.BlockSpec(
-            (FP_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
-        dspec = pl.BlockSpec(
-            (FP_LIMBS, mt, kc), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        )
-        fspec = pl.BlockSpec((mt, kc), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ospec = pl.BlockSpec(
-            (FP_LIMBS, mt), lambda i: (0, i), memory_space=pltpu.VMEM
-        )
-        cin = [
-            jnp.asarray(a, jnp.int32).reshape(FP_LIMBS, 1) for a in const_arrays
-        ]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(mm // mt,),
-            in_specs=[cspec] * nconst + [dspec, dspec, fspec],
-            out_specs=tuple([ospec] * 3),
-            out_shape=tuple(
-                jax.ShapeDtypeStruct((FP_LIMBS, mm), jnp.int32) for _ in range(3)
-            ),
-            interpret=_interpret(),
-        )(*cin, xx, yy, ff)
-        p = C.G1(*outs)
-        if k == kc:
-            return C.G1(*(c.reshape((FP_LIMBS,) + tuple(lead)) for c in p))
-        # chunked: outputs are projective partial sums [L, m, k/kc]; finish
-        # with plain projective tree adds (narrow, cheap)
-        k = k // kc
-        part = C.G1(*(c.reshape(FP_LIMBS, m, k) for c in p))
-        while k > 1:
-            h = k // 2
-            lo = C.G1(*(c[..., :h] for c in part))
-            hi = C.G1(*(c[..., h:] for c in part))
-            part = g1_add(lo, hi)
-            k = h
-        return C.G1(
-            *(c[..., 0].reshape((FP_LIMBS,) + tuple(lead)) for c in part)
-        )
-
-
 def _spec_const_arrays_inv(spec: F.FieldSpec) -> list[np.ndarray]:
     return _spec_const_arrays(spec) + [np.asarray(spec.one_mont)]
+
+
+def field_butterfly(
+    spec: F.FieldSpec, a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray
+):
+    """Fused NTT butterfly: returns (a + w*b, a - w*b + 2p) in one kernel.
+
+    The Montgomery multiply plus the add/sub pair is the whole inner loop of
+    every scalar NTT stage; fusing it keeps the ~30 CIOS temporaries in VMEM
+    (the XLA path is ~40x slower per lane, see README perf notes).
+    """
+    a, b, w = jnp.broadcast_arrays(a, b, w)
+    batch = a.shape[1:]
+    n = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    tile, npad = _tile_for(n)
+    ins = [_flatten_pad(x, npad) for x in (a, b, w)]
+
+    def body(vals):
+        av, bv, wv = vals
+        t = F.mont_mul_values(spec, bv, wv)
+        return (
+            F.add_values(spec, av, t),
+            F.sub_values(spec, av, t, 2),
+        )
+
+    outs = _launch(
+        body, _spec_const_arrays(spec), ins, 2, spec.nlimbs, tile, npad
+    )
+    return tuple(
+        o[:, :n].reshape((spec.nlimbs,) + tuple(batch)) for o in outs
+    )
 
 
 def batch_inverse_flat(spec: F.FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
