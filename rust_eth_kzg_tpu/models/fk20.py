@@ -121,6 +121,7 @@ class FK20Prover:
                 self._srs_fingerprint,
                 cfg.fk20_window,
                 cfg.commit_window,
+                geometry=(cfg.poly_len, cfg.coset_size, cfg.expansion),
             )
             if loaded is not None:
                 self.tables, self.commit_tables = loaded
@@ -167,6 +168,7 @@ class FK20Prover:
                 self._srs_fingerprint,
                 fk20=self.tables,
                 commit=self.commit_tables,
+                geometry=(cfg.poly_len, cfg.coset_size, cfg.expansion),
             )
 
     # --- pipeline pieces (all shapes [L, B, ...]) ---

@@ -140,11 +140,15 @@ def add_affine_values(a: G1Affine, b: G1Affine) -> G1:
     - opposite points (v=0, u!=0): X3=Z3=0, Y3=-u^3 != 0 — a valid projective
       identity, correct by construction.
     - equal points (v=0, u=0): returns the invalid (0:0:0). Callers must
-      guarantee distinct non-identity inputs; for window sums over fixed-base
-      tables, equal lanes would encode a nontrivial discrete-log relation
-      between distinct SRS points (computationally negligible — the reference
-      makes the same assumption in its incomplete batch-affine tree,
-      /root/reference/crates/cryptography/bls12_381/src/batch_addition.rs:46-124).
+      guarantee distinct non-identity inputs. For window sums over fixed-base
+      tables two cases arise: lanes pairing *distinct* SRS points, where
+      equality would encode a nontrivial discrete-log relation (computationally
+      negligible — same assumption as the reference's incomplete batch-affine
+      tree, /root/reference/crates/cryptography/bls12_381/src/batch_addition.rs:46-124);
+      and lanes pairing the SAME base point across Lim-Lee chains, where
+      equality is the scalar condition d1 = ±d2·2^(window·wpc·chains/2) mod r —
+      parameter-dependent, so it is checked exhaustively at table-build time
+      (ops/msm.py `_assert_no_chord_collision`).
 
     Bounds: x < p canonical, y < 2p (possibly negated); outputs < 4p.
     """

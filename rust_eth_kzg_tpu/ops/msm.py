@@ -201,6 +201,31 @@ def _chain_scaled_points(points: C.G1, chains: int, shift_bits: int) -> C.G1:
     )
 
 
+def _assert_no_chord_collision(window: int, wpc: int, chains: int) -> None:
+    """Prove the incomplete chord add in _window_sums can never see equal points.
+
+    The first window-sum tree level pairs lane (chain c, point p) with lane
+    (chain c + chains/2, point p) — the SAME base point pre-scaled by
+    2^(window*wpc*chains/2). Those lanes are equal iff
+        d1 = ±d2 * 2^(window*wpc*chains/2)  (mod r)
+    for table digits d1, d2 in [1, 2^(window-1)]. This is a parameter-dependent
+    invariant (advisor r1-low), so check it exhaustively for the chosen
+    (window, wpc, chains) — 2^(w-1) modular muls at table-build time.
+    """
+    from ..constants import R_SCALAR
+
+    d_max = 1 << (window - 1)
+    shift = pow(2, window * wpc * (chains // 2), R_SCALAR)
+    for d2 in range(1, d_max + 1):
+        t = (d2 * shift) % R_SCALAR
+        if 1 <= t <= d_max or 1 <= R_SCALAR - t <= d_max:
+            raise AssertionError(
+                f"chord-add collision: d2={d2} maps into the digit range for "
+                f"(window={window}, wpc={wpc}, chains={chains}); the first "
+                "window-sum tree level would produce the invalid (0:0:0)"
+            )
+
+
 def build_fixed_base_msm(
     points: C.G1, window: int, instance_ndim: int = 0, chains: int = 4
 ) -> FixedBaseMSM:
@@ -214,6 +239,8 @@ def build_fixed_base_msm(
     """
     n_win = SCALAR_BITS // window + 1
     wpc = -(-n_win // chains)
+    if chains > 1 and chains % 2 == 0:
+        _assert_no_chord_collision(window, wpc, chains)
     if chains > 1:
         points = _chain_scaled_points(points, chains, window * wpc)
     rows, base_inf = _build_tables(points, window)

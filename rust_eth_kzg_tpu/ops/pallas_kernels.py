@@ -49,18 +49,35 @@ def _mode() -> str:
 
 
 @functools.cache
+def _backend_is_tpu() -> bool:
+    """True when the default backend is real TPU silicon. The deployment
+    hardware registers its PJRT plugin under the platform name "axon" (not
+    "tpu"), so check the device platform/kind too (advisor finding r1-med)."""
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        return True
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    return "tpu" in (dev.platform or "").lower() or "tpu" in (
+        getattr(dev, "device_kind", "") or ""
+    ).lower()
+
+
+@functools.cache
 def enabled() -> bool:
     m = _mode()
     if m == "0":
         return False
     if m in ("1", "interpret"):
         return True
-    return jax.default_backend() == "tpu"
+    return _backend_is_tpu()
 
 
 @functools.cache
 def _interpret() -> bool:
-    return _mode() == "interpret" or jax.default_backend() != "tpu"
+    return _mode() == "interpret" or not _backend_is_tpu()
 
 
 def _round_up(n: int, m: int) -> int:
@@ -268,6 +285,11 @@ def batch_inverse_flat(spec: F.FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     k = 32
     c = max(1, -(-n // k))
     c = _round_up(c, 128)
+    # the grid below is c // ct with floor division: c must be a multiple of
+    # the tile ct, or the tail block is silently never written (advisor
+    # finding r1-high; e.g. c=640 with ct=512 dropped the last 128 columns)
+    ct = min(512, c)
+    c = _round_up(c, ct)
     npad = k * c
     if npad != n:
         ones = spec.broadcast_const(spec.one_mont, (npad - n,))
@@ -282,7 +304,6 @@ def batch_inverse_flat(spec: F.FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 
     const_arrays = _spec_const_arrays_inv(spec)
     nconst = len(const_arrays)
-    ct = min(512, c)
 
     def kernel(*refs):
         bits_ref = refs[0]

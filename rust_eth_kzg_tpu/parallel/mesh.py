@@ -90,5 +90,14 @@ def prove_work_sharded(prover, mesh: Mesh, data: jnp.ndarray):
         cells = prv._coset_evaluations(poly)
         return C.batch_normalize(proofs), cells
 
+    # the prover's tables live on the default backend's device, which may be a
+    # different platform than the mesh (axon TPU vs virtual CPU mesh in the
+    # dryrun); move them onto the mesh with the leading slot axis sharded over
+    # `work` so each chip holds only its slice of the table (advisor r1-med)
+    def _put_leaf(leaf):
+        spec = P(*(("work",) + (None,) * (leaf.ndim - 1)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    tables = jax.tree_util.tree_map(_put_leaf, prover.tables)
     data = jax.device_put(data, NamedSharding(mesh, P(None, "dp", None)))
-    return run(prover, prover.tables, data)
+    return run(prover, tables, data)

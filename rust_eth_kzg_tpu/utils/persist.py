@@ -59,12 +59,18 @@ def _table_from(data, prefix: str):
     )
 
 
-def save_tables_file(path: str, fingerprint: str, fk20=None, commit=None) -> None:
-    """Snapshot built MSM tables keyed by layout version + SRS fingerprint."""
+def save_tables_file(
+    path: str, fingerprint: str, fk20=None, commit=None, geometry=None
+) -> None:
+    """Snapshot built MSM tables keyed by layout version + SRS fingerprint +
+    protocol geometry (poly_len, coset_size, expansion) — a cache built under
+    a different FK20Config over the same SRS must not load (advisor r1-low)."""
     arrays = {
         "layout_version": np.asarray(LAYOUT_VERSION),
         "fingerprint": np.asarray(fingerprint),
     }
+    if geometry is not None:
+        arrays["geometry"] = np.asarray(list(geometry), dtype=np.int64)
     if fk20 is not None:
         arrays.update(_table_arrays("fk20", fk20))
     if commit is not None:
@@ -76,11 +82,14 @@ def save_tables_file(path: str, fingerprint: str, fk20=None, commit=None) -> Non
     os.replace(tmp, path)
 
 
-def try_load_tables(path: str, fingerprint: str, fk20_window, commit_window):
+def try_load_tables(
+    path: str, fingerprint: str, fk20_window, commit_window, geometry=None
+):
     """Load (fk20_tables, commit_tables) if the snapshot matches; else None.
 
-    Matching = same layout version, same SRS content hash, same window widths
-    for whichever tables the config enables.
+    Matching = same layout version, same SRS content hash, same protocol
+    geometry (poly_len, coset_size, expansion), same window widths for
+    whichever tables the config enables.
     """
     if not path or not os.path.exists(path):
         return None
@@ -90,6 +99,11 @@ def try_load_tables(path: str, fingerprint: str, fk20_window, commit_window):
             return None
         if str(data["fingerprint"]) != fingerprint:
             return None
+        if geometry is not None:
+            if "geometry" not in data.files:
+                return None
+            if list(data["geometry"]) != [int(g) for g in geometry]:
+                return None
         fk20 = commit = None
         if fk20_window is not None:
             fk20 = _table_from(data, "fk20")
@@ -107,12 +121,18 @@ def try_load_tables(path: str, fingerprint: str, fk20_window, commit_window):
 # --- legacy prover-object helpers (kept for the public save/load API) ---
 
 
+def _prover_geometry(prover):
+    cfg = prover.config
+    return (cfg.poly_len, cfg.coset_size, cfg.expansion)
+
+
 def save_prover_tables(prover, path: str) -> None:
     save_tables_file(
         path,
         getattr(prover, "_srs_fingerprint", ""),
         fk20=prover.tables,
         commit=prover.commit_tables,
+        geometry=_prover_geometry(prover),
     )
 
 
@@ -125,6 +145,7 @@ def load_prover_tables(prover, path: str) -> bool:
         getattr(prover, "_srs_fingerprint", ""),
         cfg.fk20_window,
         cfg.commit_window,
+        geometry=_prover_geometry(prover),
     )
     if loaded is None:
         return False

@@ -18,7 +18,7 @@ from rust_eth_kzg_tpu.ops import field as F
 from rust_eth_kzg_tpu.ops import pallas_kernels as PK
 
 pytestmark = pytest.mark.skipif(
-    jax.default_backend() != "tpu", reason="Pallas kernels require a TPU"
+    not PK._backend_is_tpu(), reason="Pallas kernels require a TPU"
 )
 
 
@@ -90,3 +90,19 @@ def test_batch_inverse_kernel_matches_jnp():
         got = PK.batch_inverse_flat(spec, limbs)
         inv = spec.from_mont_host(np.asarray(got))
         assert inv == [pow(v, -1, spec.modulus) for v in vals]
+
+
+def test_batch_inverse_kernel_ragged_tail():
+    """Regression (advisor r1-high): n with ceil(n/32) > 512 and not a
+    multiple of 512 must still write every output block — the old grid used
+    floor division and silently dropped the tail (e.g. c=640 with ct=512)."""
+    spec = F.FR
+    n = 32 * 640  # c = 640: one full 512-tile plus a 128 tail
+    rng = np.random.default_rng(7)
+    vals = [int(x) for x in rng.integers(1, 2**61, size=n)]
+    limbs = jnp.asarray(spec.to_mont_host(vals)).reshape(spec.nlimbs, n)
+    got = PK.batch_inverse_flat(spec, limbs)
+    inv = spec.from_mont_host(np.asarray(got))
+    # check the head and (critically) the tail region beyond column 512*32
+    assert inv[:64] == [pow(v, -1, spec.modulus) for v in vals[:64]]
+    assert inv[-64:] == [pow(v, -1, spec.modulus) for v in vals[-64:]]
