@@ -1,0 +1,67 @@
+"""Multi-chip tier (SURVEY.md §4): sharded pipelines match the single-chip
+program bit-exactly on a virtual 8-device CPU mesh.
+
+The reference has no distributed analog (rayon threads only); this tier is
+new for the TPU build — it validates that GSPMD partitioning of the FK20
+pipeline (dp blob-batch layout and the intra-blob work layout with its
+all-gather over the proof-slot axis) changes nothing about the numerics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_eth_kzg_tpu.models.fk20 import FK20Config, FK20Prover
+from rust_eth_kzg_tpu.models.naive import insecure_setup
+from rust_eth_kzg_tpu.ops import field as F
+from rust_eth_kzg_tpu.parallel import mesh as pmesh
+
+FR = F.FR
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices("cpu")) < 8, reason="needs 8 virtual CPU devices"
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_prover():
+    cfg = FK20Config(
+        poly_len=64, coset_size=8, expansion=2, fk20_window=4, commit_window=4
+    )
+    g1s, _, _ = insecure_setup(cfg.poly_len, 1)
+    return FK20Prover(g1s, cfg)
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tiny_prover):
+    cfg = tiny_prover.config
+    rng = np.random.default_rng(7)
+    scalars = [int(x) for x in rng.integers(0, 2**62, size=8 * cfg.poly_len)]
+    return jnp.asarray(F.FR.to_mont_host(scalars)).reshape(
+        FR.nlimbs, 8, cfg.poly_len
+    )
+
+
+def test_prove_dp_sharded_matches_single(tiny_prover, tiny_data):
+    mesh = pmesh.make_mesh(8, devices=jax.devices("cpu"))
+    proofs, cells = pmesh.prove_sharded(tiny_prover, mesh, tiny_data)
+    single_proofs, single_cells = tiny_prover.prove_from_data(tiny_data)
+    np.testing.assert_array_equal(np.asarray(single_cells), np.asarray(cells))
+    np.testing.assert_array_equal(
+        np.asarray(single_proofs.x), np.asarray(proofs.x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single_proofs.inf), np.asarray(proofs.inf)
+    )
+
+
+def test_prove_work_sharded_matches_single(tiny_prover, tiny_data):
+    mesh = pmesh.make_mesh(8, dp=2, devices=jax.devices("cpu"))
+    data_dp = tiny_data[:, :2, :]
+    proofs, cells = pmesh.prove_work_sharded(tiny_prover, mesh, data_dp)
+    single_proofs, single_cells = tiny_prover.prove_from_data(data_dp)
+    np.testing.assert_array_equal(np.asarray(single_cells), np.asarray(cells))
+    np.testing.assert_array_equal(
+        np.asarray(single_proofs.x), np.asarray(proofs.x)
+    )
