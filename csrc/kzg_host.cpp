@@ -263,15 +263,34 @@ static void fp2_conj(const fp2 &a, fp2 &o) {
   fp_neg(a.c1, o.c1);
 }
 static void fp2_mul(const fp2 &a, const fp2 &b, fp2 &o) {
-  fp ac, bd, ad, bc;
+  // Karatsuba: 3 base muls
+  fp ac, bd, s, t;
   fp_mul(a.c0, b.c0, ac);
   fp_mul(a.c1, b.c1, bd);
-  fp_mul(a.c0, b.c1, ad);
-  fp_mul(a.c1, b.c0, bc);
+  fp_add(a.c0, a.c1, s);
+  fp_add(b.c0, b.c1, t);
+  fp_mul(s, t, s);
   fp_sub(ac, bd, o.c0);
-  fp_add(ad, bc, o.c1);
+  fp_sub(s, ac, s);
+  fp_sub(s, bd, o.c1);
 }
-static void fp2_sqr(const fp2 &a, fp2 &o) { fp2_mul(a, a, o); }
+static void fp2_sqr(const fp2 &a, fp2 &o) {
+  // complex squaring: 2 base muls
+  fp s, d, t;
+  fp_add(a.c0, a.c1, s);
+  fp_sub(a.c0, a.c1, d);
+  fp_mul(a.c0, a.c1, t);
+  fp_mul(s, d, o.c0);
+  fp_add(t, t, o.c1);
+}
+static void fp2_mul_fp(const fp2 &a, const fp &b, fp2 &o) {
+  fp_mul(a.c0, b, o.c0);
+  fp_mul(a.c1, b, o.c1);
+}
+static void fp2_dbl(const fp2 &a, fp2 &o) {
+  fp_add(a.c0, a.c0, o.c0);
+  fp_add(a.c1, a.c1, o.c1);
+}
 static void fp2_mul_xi(const fp2 &a, fp2 &o) {  // * (1+u)
   fp t0, t1;
   fp_sub(a.c0, a.c1, t0);
@@ -356,26 +375,65 @@ static void fp6_neg(const fp6 &x, fp6 &o) {
   fp2_neg(x.c2, o.c2);
 }
 static void fp6_mul(const fp6 &x, const fp6 &y, fp6 &o) {
-  fp2 t00, t11, t22, t12, t21, t01, t10, t02, t20, s;
-  fp2_mul(x.c0, y.c0, t00);
-  fp2_mul(x.c1, y.c1, t11);
-  fp2_mul(x.c2, y.c2, t22);
-  fp2_mul(x.c1, y.c2, t12);
-  fp2_mul(x.c2, y.c1, t21);
-  fp2_mul(x.c0, y.c1, t01);
-  fp2_mul(x.c1, y.c0, t10);
-  fp2_mul(x.c0, y.c2, t02);
-  fp2_mul(x.c2, y.c0, t20);
+  // Karatsuba/Toom: 6 fp2 muls
+  fp2 t0, t1, t2, s01, s12, s02, u01, u12, u02, r0, r1, r2;
+  fp2_mul(x.c0, y.c0, t0);
+  fp2_mul(x.c1, y.c1, t1);
+  fp2_mul(x.c2, y.c2, t2);
+  fp2_add(x.c1, x.c2, s12);
+  fp2_add(y.c1, y.c2, u12);
+  fp2_mul(s12, u12, s12);  // x1y1 + x1y2 + x2y1 + x2y2
+  fp2_add(x.c0, x.c1, s01);
+  fp2_add(y.c0, y.c1, u01);
+  fp2_mul(s01, u01, s01);
+  fp2_add(x.c0, x.c2, s02);
+  fp2_add(y.c0, y.c2, u02);
+  fp2_mul(s02, u02, s02);
+  // c0 = t0 + xi*(s12 - t1 - t2)
+  fp2_sub(s12, t1, r0);
+  fp2_sub(r0, t2, r0);
+  fp2_mul_xi(r0, r0);
+  fp2_add(r0, t0, r0);
+  // c1 = s01 - t0 - t1 + xi*t2
+  fp2_sub(s01, t0, r1);
+  fp2_sub(r1, t1, r1);
+  fp2_mul_xi(t2, u12);
+  fp2_add(r1, u12, r1);
+  // c2 = s02 - t0 - t2 + t1
+  fp2_sub(s02, t0, r2);
+  fp2_sub(r2, t2, r2);
+  fp2_add(r2, t1, r2);
+  o.c0 = r0;
+  o.c1 = r1;
+  o.c2 = r2;
+}
+static void fp6_sqr(const fp6 &x, fp6 &o) {
+  // CH-SQR3: 3 fp2 sqr + 2 fp2 mul
+  fp2 s0, s1, s2, s3, s4, t;
+  fp2_sqr(x.c0, s0);
+  fp2_mul(x.c0, x.c1, s1);
+  fp2_dbl(s1, s1);
+  fp2_sub(x.c0, x.c1, t);
+  fp2_add(t, x.c2, t);
+  fp2_sqr(t, s2);
+  fp2_mul(x.c1, x.c2, s3);
+  fp2_dbl(s3, s3);
+  fp2_sqr(x.c2, s4);
   fp6 r;
-  fp2_add(t12, t21, s);
-  fp2_mul_xi(s, s);
-  fp2_add(t00, s, r.c0);
-  fp2_mul_xi(t22, s);
-  fp2_add(t01, t10, r.c1);
-  fp2_add(r.c1, s, r.c1);
-  fp2_add(t02, t20, r.c2);
-  fp2_add(r.c2, t11, r.c2);
+  fp2_mul_xi(s3, t);
+  fp2_add(s0, t, r.c0);
+  fp2_mul_xi(s4, t);
+  fp2_add(s1, t, r.c1);
+  fp2_add(s1, s2, r.c2);
+  fp2_add(r.c2, s3, r.c2);
+  fp2_sub(r.c2, s0, r.c2);
+  fp2_sub(r.c2, s4, r.c2);
   o = r;
+}
+static void fp6_dbl(const fp6 &x, fp6 &o) {
+  fp2_dbl(x.c0, o.c0);
+  fp2_dbl(x.c1, o.c1);
+  fp2_dbl(x.c2, o.c2);
 }
 static void fp6_mul_by_v(const fp6 &x, fp6 &o) {
   fp6 r;
@@ -434,7 +492,20 @@ static void fp12_mul(const fp12 &x, const fp12 &y, fp12 &o) {
   fp6_sub(r.b, bd, r.b);
   o = r;
 }
-static void fp12_sqr(const fp12 &x, fp12 &o) { fp12_mul(x, x, o); }
+static void fp12_sqr(const fp12 &x, fp12 &o) {
+  // complex squaring over Fp6: 2 fp6 muls
+  // (a+bw)^2 = (a+b)(a+vb) - ab - v*ab + (2ab)w
+  fp6 ab, s, t;
+  fp6_mul(x.a, x.b, ab);
+  fp6_add(x.a, x.b, s);
+  fp6_mul_by_v(x.b, t);
+  fp6_add(x.a, t, t);
+  fp6_mul(s, t, s);
+  fp6_sub(s, ab, s);
+  fp6_mul_by_v(ab, t);
+  fp6_sub(s, t, o.a);
+  fp6_dbl(ab, o.b);
+}
 static void fp12_conj(const fp12 &x, fp12 &o) {
   o.a = x.a;
   fp6_neg(x.b, o.b);
@@ -646,10 +717,66 @@ static bool g2_on_curve(const fp2 &x, const fp2 &y) {
   return fp2_eq(lhs, rhs);
 }
 
+// GLV endomorphism phi(x,y) = (beta*x, y), beta a primitive cube root of
+// unity in Fp. Subgroup check: P in G1  iff  phi(P) == [z^2-1]P or
+// phi(P) == [-z^2]P (the two eigenvalue roots of T^2+T+1 mod r). Either
+// equality implies (phi^2+phi+1)(P) = [lambda^2+lambda+1]P = [r]P = 0 since
+// phi^2+phi+1 = 0 in End(E) — rigorous in both directions, and ~2x faster
+// than the reference-semantics [r]P == inf (z^2 is 127 bits vs 255).
+static fp BETA;
+static bool BETA_INIT = false;
+static void init_beta() {
+  if (BETA_INIT) return;
+  // (p-1)/3 (p = 1 mod 3): big-int divide, top limb down
+  u64 pm1[6];
+  for (int i = 0; i < 6; i++) pm1[i] = P_LIMBS[i];
+  pm1[0] -= 1;  // p is odd, no borrow
+  u64 exp3[6];
+  u128 rem = 0;
+  for (int i = 5; i >= 0; i--) {
+    u128 cur = (rem << 64) | pm1[i];
+    exp3[i] = (u64)(cur / 3);
+    rem = cur % 3;
+  }
+  // find a non-cube g: g^((p-1)/3) != 1
+  for (u64 g = 2;; g++) {
+    fp cand = FP_ONE, gfp = FP_ZERO;
+    for (u64 i = 0; i < g; i++) fp_add(gfp, FP_ONE, gfp);
+    fp_pow(gfp, exp3, 6, cand);
+    if (!fp_eq(cand, FP_ONE)) { BETA = cand; break; }
+  }
+  BETA_INIT = true;
+}
+
 static bool g1_in_subgroup(const fp &x, const fp &y) {
-  G1Jac p = {x, y, FP_ONE}, r;
-  jac_scalar_mul<G1Jac, G1Jac_add, G1Jac_double>(p, R_LIMBS, 4, r);
-  return g1_jac_is_inf(r);
+  init_beta();
+  G1Jac p = {x, y, FP_ONE}, a, t;
+  // a = [|z|^2]P = [|z|]([|z|]P)
+  jac_scalar_mul<G1Jac, G1Jac_add, G1Jac_double>(p, &BLS_X, 1, t);
+  jac_scalar_mul<G1Jac, G1Jac_add, G1Jac_double>(t, &BLS_X, 1, a);
+  fp bx, lhs, rhs, z2, z3;
+  fp_mul(BETA, x, bx);  // phi(P).x (phi(P).y = y)
+  // check2: phi(P) == -a  <=>  a.x == bx*az^2 and a.y == -y*az^3
+  if (!g1_jac_is_inf(a)) {
+    fp_sqr(a.z, z2);
+    fp_mul(a.z, z2, z3);
+    fp_mul(bx, z2, lhs);
+    if (fp_eq(lhs, a.x)) {
+      fp_mul(y, z3, lhs);
+      fp_neg(lhs, lhs);
+      if (fp_eq(lhs, a.y)) return true;
+    }
+  }
+  // check1: phi(P) == a - P
+  G1Jac negp = p, s;
+  fp_neg(p.y, negp.y);
+  G1Jac_add(a, negp, s);
+  if (g1_jac_is_inf(s)) return false;
+  fp_sqr(s.z, z2);
+  fp_mul(s.z, z2, z3);
+  fp_mul(bx, z2, lhs);
+  fp_mul(y, z3, rhs);
+  return fp_eq(lhs, s.x) && fp_eq(rhs, s.y);
 }
 static bool g2_in_subgroup(const fp2 &x, const fp2 &y) {
   G2Jac p = {x, y, FP2_ONE}, r;
@@ -658,144 +785,283 @@ static bool g2_in_subgroup(const fp2 &x, const fp2 &y) {
 }
 
 // ---------------------------------------------------------------------------
-// Pairing: affine Miller loop over points embedded in E(Fp12)
+// Pairing: projective Miller loop on the twist + cyclotomic final exp
+//
+// Optimal ate for BLS12-381. P in G1 is mapped to the twist E'(Fp12) via the
+// M-type untwist phi(x,y) = (x*w^2, y*w^3), so every line is computed with
+// Fp2 arithmetic through points of E'(Fp2) and evaluates to the sparse Fp12
+// element  l0 + l1*w^2 + l2*w^3  =  (l0 + l1*v) + (l2*v)*w  (slots 1, v, vw).
+// Doubling/addition steps use the homogeneous-projective formulas of
+// eprint 2013/722 §4.3 (re-derived; Fp2-subfield scale factors are killed by
+// the final exponentiation). Final exp: easy part, then the Hayashida-
+// Hayasaka-Teruya chain (eprint 2020/875) computing f^(3(p^4-p^2+1)/r) with
+// Granger-Scott cyclotomic squarings. Replaces the reference's blst
+// multi_miller_loop/final_exp (consumed at
+// /root/reference/crates/cryptography/bls12_381/src/lib.rs:45-50).
 // ---------------------------------------------------------------------------
 
-struct pt12 { fp12 x, y; };
+struct line_t { fp2 l0, l1, l2; };   // l0 + l1*w^2 + l2*w^3
+struct G2Proj { fp2 X, Y, Z; };      // homogeneous projective on the twist
 
-// w^2 = v and w^3 = v*w as Fp12 elements; their inverses for the untwist
-static fp12 W2_INV, W3_INV;
-static bool W_INIT = false;
-static void init_w() {
-  if (W_INIT) return;
-  fp12 w2, w3;
-  memset(&w2, 0, sizeof(w2));
-  memset(&w3, 0, sizeof(w3));
-  w2.a.c1 = FP2_ONE;  // v
-  w3.b.c1 = FP2_ONE;  // v*w
-  fp12_inv(w2, W2_INV);
-  fp12_inv(w3, W3_INV);
-  W_INIT = true;
+// x * (b0 + b1*v), 5 fp2 muls
+static void fp6_mul_by_01(const fp6 &x, const fp2 &b0, const fp2 &b1, fp6 &o) {
+  fp2 t0, t1, t2, s, u;
+  fp2_mul(x.c0, b0, t0);
+  fp2_mul(x.c1, b1, t1);
+  fp2_add(x.c0, x.c1, s);
+  fp2_add(b0, b1, u);
+  fp2_mul(s, u, s);           // x0b0 + x0b1 + x1b0 + x1b1
+  fp2_mul(x.c2, b1, t2);
+  fp2_mul_xi(t2, t2);
+  fp6 r;
+  fp2_add(t0, t2, r.c0);      // x0b0 + xi*x2b1
+  fp2_sub(s, t0, r.c1);
+  fp2_sub(r.c1, t1, r.c1);    // x0b1 + x1b0
+  fp2_mul(x.c2, b0, t2);
+  fp2_add(t1, t2, r.c2);      // x1b1 + x2b0
+  o = r;
+}
+// x * (b1*v), 3 fp2 muls
+static void fp6_mul_by_1(const fp6 &x, const fp2 &b1, fp6 &o) {
+  fp6 r;
+  fp2_mul(x.c2, b1, r.c0);
+  fp2_mul_xi(r.c0, r.c0);
+  fp2_mul(x.c0, b1, r.c1);
+  fp2_mul(x.c1, b1, r.c2);
+  o.c0 = r.c0;
+  o.c1 = r.c1;
+  o.c2 = r.c2;
+}
+// f *= (l0 + l1*v) + (l2*v)*w   (sparse, 13 fp2 muls)
+static void fp12_mul_by_line(fp12 &f, const line_t &l) {
+  fp6 t0, t1, t2, s;
+  fp2 b01;
+  fp6_mul_by_01(f.a, l.l0, l.l1, t0);
+  fp6_mul_by_1(f.b, l.l2, t1);
+  fp6_add(f.a, f.b, s);
+  fp2_add(l.l1, l.l2, b01);
+  fp6_mul_by_01(s, l.l0, b01, t2);   // (a+b)(la+lb)
+  fp6_mul_by_v(t1, s);
+  fp6_add(t0, s, f.a);               // a*la + v*(b*lb)
+  fp6_sub(t2, t0, f.b);
+  fp6_sub(f.b, t1, f.b);             // a*lb + b*la
 }
 
-static void fp12_from_fp(const fp &a, fp12 &o) {
-  memset(&o, 0, sizeof(o));
-  o.a.c0.c0 = a;
-}
-static void fp12_from_fp2(const fp2 &a, fp12 &o) {
-  memset(&o, 0, sizeof(o));
-  o.a.c0 = a;
-}
-
-static void pt12_add(const pt12 &p, const pt12 &q, pt12 &o, bool dbl) {
-  fp12 m, t, dx, dy;
-  if (dbl) {
-    fp12 x2, three, two, num, den;
-    fp12_sqr(p.x, x2);
-    fp three_fp, two_fp;
-    fp_add(FP_ONE, FP_ONE, two_fp);
-    fp_add(two_fp, FP_ONE, three_fp);
-    fp12_from_fp(three_fp, three);
-    fp12_from_fp(two_fp, two);
-    fp12_mul(x2, three, num);
-    fp12_mul(p.y, two, den);
-    fp12_inv(den, den);
-    fp12_mul(num, den, m);
-  } else {
-    fp12_sub(q.y, p.y, dy);
-    fp12_sub(q.x, p.x, dx);
-    fp12_inv(dx, dx);
-    fp12_mul(dy, dx, m);
-  }
-  fp12 x3, y3;
-  fp12_sqr(m, x3);
-  fp12_sub(x3, p.x, x3);
-  fp12_sub(x3, q.x, x3);
-  fp12_sub(p.x, x3, t);
-  fp12_mul(m, t, y3);
-  fp12_sub(y3, p.y, y3);
-  o.x = x3;
-  o.y = y3;
+// 3*b' = 12*(1+u) in Montgomery form, computed on demand
+static void fp2_three_b_twist(fp2 &o) {
+  fp twelve;
+  fp_add(FP_ONE, FP_ONE, twelve);          // 2
+  fp_add(twelve, FP_ONE, twelve);          // 3
+  fp_add(twelve, twelve, o.c0);            // 6
+  fp_add(o.c0, o.c0, twelve);              // 12
+  o.c0 = twelve;
+  o.c1 = twelve;
 }
 
-// line through (a, b) evaluated at pt (all non-infinite, a != -b)
-static void line_eval(const pt12 &a, const pt12 &b, const pt12 &pt, bool dbl,
-                      fp12 &o) {
-  fp12 m, t;
-  if (!dbl && fp12_eq(a.x, b.x)) {  // vertical
-    fp12_sub(pt.x, a.x, o);
-    return;
-  }
-  if (dbl) {
-    fp12 x2, num, den;
-    fp12_sqr(a.x, x2);
-    fp three_fp, two_fp;
-    fp_add(FP_ONE, FP_ONE, two_fp);
-    fp_add(two_fp, FP_ONE, three_fp);
-    fp12 three, two;
-    fp12_from_fp(three_fp, three);
-    fp12_from_fp(two_fp, two);
-    fp12_mul(x2, three, num);
-    fp12_mul(a.y, two, den);
-    fp12_inv(den, den);
-    fp12_mul(num, den, m);
-  } else {
-    fp12 dx, dy;
-    fp12_sub(b.y, a.y, dy);
-    fp12_sub(b.x, a.x, dx);
-    fp12_inv(dx, dx);
-    fp12_mul(dy, dx, m);
-  }
-  fp12_sub(pt.x, a.x, t);
-  fp12_mul(m, t, t);
-  fp12_sub(pt.y, a.y, o);
-  fp12_sub(o, t, o);
+// T <- 2T, line through T evaluated at P=(px,py)
+static void dbl_step(G2Proj &T, const fp &px, const fp &py, line_t &l) {
+  fp2 A, B, C, E, FF, H, XX, EE, t;
+  fp2_mul(T.X, T.Y, A);                    // XY
+  fp2_sqr(T.Y, B);                         // Y^2
+  fp2_sqr(T.Z, C);                         // Z^2
+  fp2 threeb;
+  fp2_three_b_twist(threeb);
+  fp2_mul(C, threeb, E);                   // 3b'Z^2
+  fp2_dbl(E, FF);
+  fp2_add(FF, E, FF);                      // 9b'Z^2
+  fp2_add(T.Y, T.Z, H);
+  fp2_sqr(H, H);
+  fp2_sub(H, B, H);
+  fp2_sub(H, C, H);                        // 2YZ
+  fp2_sqr(T.X, XX);                        // X^2
+  fp2_sqr(E, EE);                          // E^2
+  // line: l0 = B - E, l1 = -3X^2 * px, l2 = H * py
+  fp2_sub(B, E, l.l0);
+  fp2_dbl(XX, t);
+  fp2_add(t, XX, t);                       // 3X^2
+  fp2_neg(t, t);
+  fp2_mul_fp(t, px, l.l1);
+  fp2_mul_fp(H, py, l.l2);
+  // point: X3 = 2XY(B-F), Y3 = (B+F)^2 - 12E^2, Z3 = 4BH  (scale 4)
+  fp2 r0, r1, r2;
+  fp2_sub(B, FF, t);
+  fp2_mul(A, t, r0);
+  fp2_dbl(r0, r0);
+  fp2_add(B, FF, t);
+  fp2_sqr(t, r1);
+  fp2_dbl(EE, t);
+  fp2_add(t, EE, t);                       // 3E^2
+  fp2_dbl(t, t);                           // 6E^2
+  fp2_dbl(t, t);                           // 12E^2
+  fp2_sub(r1, t, r1);
+  fp2_mul(B, H, r2);
+  fp2_dbl(r2, r2);
+  fp2_dbl(r2, r2);
+  T.X = r0;
+  T.Y = r1;
+  T.Z = r2;
 }
 
-static void miller_loop(const fp &px, const fp &py, const fp2 &qx,
-                        const fp2 &qy, fp12 &o) {
-  init_w();
-  pt12 p_emb, q_emb, t;
-  fp12_from_fp(px, p_emb.x);
-  fp12_from_fp(py, p_emb.y);
-  fp12 tmp;
-  fp12_from_fp2(qx, tmp);
-  fp12_mul(tmp, W2_INV, q_emb.x);
-  fp12_from_fp2(qy, tmp);
-  fp12_mul(tmp, W3_INV, q_emb.y);
+// T <- T + Q (Q affine on the twist), line through T,Q evaluated at P
+static void add_step(G2Proj &T, const fp2 &qx, const fp2 &qy, const fp &px,
+                     const fp &py, line_t &l) {
+  fp2 theta, lam, C, D, E, FF, G, H, t;
+  fp2_mul(qy, T.Z, t);
+  fp2_sub(T.Y, t, theta);                  // Y - y2*Z
+  fp2_mul(qx, T.Z, t);
+  fp2_sub(T.X, t, lam);                    // X - x2*Z
+  fp2_sqr(theta, C);
+  fp2_sqr(lam, D);
+  fp2_mul(lam, D, E);                      // lam^3
+  fp2_mul(T.Z, C, FF);                     // Z*theta^2
+  fp2_mul(T.X, D, G);                      // X*lam^2
+  fp2_add(E, FF, H);
+  fp2_sub(H, G, H);
+  fp2_sub(H, G, H);                        // E + F - 2G
+  // line: l0 = theta*x2 - lam*y2, l1 = -theta*px, l2 = lam*py
+  fp2 u0, u1;
+  fp2_mul(theta, qx, u0);
+  fp2_mul(lam, qy, u1);
+  fp2_sub(u0, u1, l.l0);
+  fp2_neg(theta, t);
+  fp2_mul_fp(t, px, l.l1);
+  fp2_mul_fp(lam, py, l.l2);
+  // point: X3 = lam*H, Y3 = theta*(G-H) - Y*E, Z3 = Z*E
+  fp2 r0, r1, r2;
+  fp2_mul(lam, H, r0);
+  fp2_sub(G, H, t);
+  fp2_mul(theta, t, r1);
+  fp2_mul(T.Y, E, t);
+  fp2_sub(r1, t, r1);
+  fp2_mul(T.Z, E, r2);
+  T.X = r0;
+  T.Y = r1;
+  T.Z = r2;
+}
+
+// shared-accumulator multi-Miller loop: f = prod_i f_{z,Q_i}(P_i)
+static void miller_loop_multi(const fp *pxs, const fp *pys, const fp2 *qxs,
+                              const fp2 *qys, size_t n, fp12 &o) {
   fp12 f = FP12_ONE;
-  t = q_emb;
-  // bits of |z| from the second-highest down
+  G2Proj *T = new G2Proj[n];
+  for (size_t i = 0; i < n; i++) {
+    T[i].X = qxs[i];
+    T[i].Y = qys[i];
+    T[i].Z = FP2_ONE;
+  }
   int top = 63;
   while (!((BLS_X >> top) & 1)) top--;
+  line_t l;
   for (int b = top - 1; b >= 0; b--) {
-    fp12 l;
-    line_eval(t, t, p_emb, true, l);
     fp12_sqr(f, f);
-    fp12_mul(f, l, f);
-    pt12 t2;
-    pt12_add(t, t, t2, true);
-    t = t2;
+    for (size_t i = 0; i < n; i++) {
+      dbl_step(T[i], pxs[i], pys[i], l);
+      fp12_mul_by_line(f, l);
+    }
     if ((BLS_X >> b) & 1) {
-      line_eval(t, q_emb, p_emb, false, l);
-      fp12_mul(f, l, f);
-      pt12_add(t, q_emb, t2, false);
-      t = t2;
+      for (size_t i = 0; i < n; i++) {
+        add_step(T[i], qxs[i], qys[i], pxs[i], pys[i], l);
+        fp12_mul_by_line(f, l);
+      }
     }
   }
-  // z < 0: conjugate (inverse up to factors killed by the final exponentiation)
+  delete[] T;
+  // z < 0: conjugate
   fp12_conj(f, o);
 }
 
+// Granger-Scott squaring in the cyclotomic subgroup (9 fp2 squarings)
+static void fp12_cyc_sqr(const fp12 &x, fp12 &o) {
+  fp2 t0, t1, t2, t3, t4, t5, t6, t7, t8, s;
+  fp2_sqr(x.b.c1, t0);
+  fp2_sqr(x.a.c0, t1);
+  fp2_add(x.b.c1, x.a.c0, s);
+  fp2_sqr(s, t6);
+  fp2_sub(t6, t0, t6);
+  fp2_sub(t6, t1, t6);          // 2*x0*x4
+  fp2_sqr(x.a.c2, t2);
+  fp2_sqr(x.b.c0, t3);
+  fp2_add(x.a.c2, x.b.c0, s);
+  fp2_sqr(s, t7);
+  fp2_sub(t7, t2, t7);
+  fp2_sub(t7, t3, t7);          // 2*x2*x3
+  fp2_sqr(x.b.c2, t4);
+  fp2_sqr(x.a.c1, t5);
+  fp2_add(x.b.c2, x.a.c1, s);
+  fp2_sqr(s, t8);
+  fp2_sub(t8, t4, t8);
+  fp2_sub(t8, t5, t8);
+  fp2_mul_xi(t8, t8);           // 2*x1*x5*xi
+  fp2_mul_xi(t0, t0);
+  fp2_add(t0, t1, t0);          // x0^2 + xi*x4^2
+  fp2_mul_xi(t2, t2);
+  fp2_add(t2, t3, t2);          // x3^2 + xi*x2^2
+  fp2_mul_xi(t4, t4);
+  fp2_add(t4, t5, t4);          // x1^2 + xi*x5^2
+  fp12 r;
+  fp2_sub(t0, x.a.c0, s);
+  fp2_dbl(s, s);
+  fp2_add(s, t0, r.a.c0);
+  fp2_sub(t2, x.a.c1, s);
+  fp2_dbl(s, s);
+  fp2_add(s, t2, r.a.c1);
+  fp2_sub(t4, x.a.c2, s);
+  fp2_dbl(s, s);
+  fp2_add(s, t4, r.a.c2);
+  fp2_add(t8, x.b.c0, s);
+  fp2_dbl(s, s);
+  fp2_add(s, t8, r.b.c0);
+  fp2_add(t6, x.b.c1, s);
+  fp2_dbl(s, s);
+  fp2_add(s, t6, r.b.c1);
+  fp2_add(t7, x.b.c2, s);
+  fp2_dbl(s, s);
+  fp2_add(s, t7, r.b.c2);
+  o = r;
+}
+
+// f^z for the (negative) BLS seed z, f in the cyclotomic subgroup
+static void fp12_expt(const fp12 &x, fp12 &o) {
+  fp12 acc = x;
+  int top = 63;
+  while (!((BLS_X >> top) & 1)) top--;
+  for (int b = top - 1; b >= 0; b--) {
+    fp12_cyc_sqr(acc, acc);
+    if ((BLS_X >> b) & 1) fp12_mul(acc, x, acc);
+  }
+  fp12_conj(acc, o);  // z < 0
+}
+
 static void final_exponentiation(const fp12 &f, fp12 &o) {
-  fp12 t0, t1;
+  // easy part: f^((p^6-1)(p^2+1))
+  fp12 m, t0, t1, t2;
   fp12_conj(f, t0);
   fp12_inv(f, t1);
-  fp12_mul(t0, t1, t0);  // f^(p^6 - 1)
-  fp12_frobenius(t0, t1);
-  fp12_frobenius(t1, t1);
-  fp12_mul(t1, t0, t0);  // ^(p^2 + 1)
-  fp12_pow(t0, EXP_HARD, 20, o);
+  fp12_mul(t0, t1, m);          // f^(p^6-1)
+  fp12_frobenius(m, t0);
+  fp12_frobenius(t0, t0);
+  fp12_mul(t0, m, m);           // ^(p^2+1); m is now cyclotomic
+  // hard part (HHT, eprint 2020/875): m^(3(p^4-p^2+1)/r)
+  //   = m^3 * m^((x-1)^2 (x+p) (x^2+p^2-1))
+  fp12_cyc_sqr(m, t0);          // m^2
+  fp12_expt(m, t1);             // m^x
+  fp12_conj(m, t2);             // m^-1
+  fp12_mul(t1, t2, t1);         // m^(x-1)
+  fp12_expt(t1, t2);            // m^(x(x-1))
+  fp12_conj(t1, t1);
+  fp12_mul(t1, t2, t1);         // m^((x-1)^2)
+  fp12_expt(t1, t2);            // m^((x-1)^2 x)
+  fp12_frobenius(t1, t1);       // m^((x-1)^2 p)
+  fp12_mul(t1, t2, t1);         // m^((x-1)^2 (x+p))
+  fp12_mul(m, t0, o);           // m^3
+  fp12_expt(t1, t0);            // m^((x-1)^2 (x+p) x)
+  fp12_expt(t0, t2);            // m^((x-1)^2 (x+p) x^2)
+  fp12_frobenius(t1, t0);
+  fp12_frobenius(t0, t0);       // m^((x-1)^2 (x+p) p^2)
+  fp12_conj(t1, t1);            // m^(-(x-1)^2 (x+p))
+  fp12_mul(t1, t2, t1);         // m^((x-1)^2 (x+p) (x^2-1))
+  fp12_mul(t1, t0, t1);         // m^((x-1)^2 (x+p) (x^2+p^2-1))
+  fp12_mul(o, t1, o);
 }
 
 // ---------------------------------------------------------------------------
@@ -918,24 +1184,71 @@ int kzg_g1_check(const uint8_t *xy96, int check_subgroup) {
 // the pairing product is one, 0 otherwise, negative on malformed input.
 int kzg_pairing_check(const uint8_t *g1s, const uint8_t *g2s,
                       const uint8_t *skip, size_t n) {
-  fp12 f = FP12_ONE;
+  fp *pxs = new fp[n];
+  fp *pys = new fp[n];
+  fp2 *qxs = new fp2[n];
+  fp2 *qys = new fp2[n];
+  size_t m = 0;
   for (size_t i = 0; i < n; i++) {
     if (skip && skip[i]) continue;
-    fp px, py;
-    fp2 qx, qy;
-    if (!fp_from_bytes(g1s + 96 * i, px)) return -3;
-    if (!fp_from_bytes(g1s + 96 * i + 48, py)) return -3;
-    if (!fp_from_bytes(g2s + 192 * i, qx.c0)) return -3;
-    if (!fp_from_bytes(g2s + 192 * i + 48, qx.c1)) return -3;
-    if (!fp_from_bytes(g2s + 192 * i + 96, qy.c0)) return -3;
-    if (!fp_from_bytes(g2s + 192 * i + 144, qy.c1)) return -3;
-    fp12 ml;
-    miller_loop(px, py, qx, qy, ml);
-    fp12_mul(f, ml, f);
+    bool ok = fp_from_bytes(g1s + 96 * i, pxs[m]) &&
+              fp_from_bytes(g1s + 96 * i + 48, pys[m]) &&
+              fp_from_bytes(g2s + 192 * i, qxs[m].c0) &&
+              fp_from_bytes(g2s + 192 * i + 48, qxs[m].c1) &&
+              fp_from_bytes(g2s + 192 * i + 96, qys[m].c0) &&
+              fp_from_bytes(g2s + 192 * i + 144, qys[m].c1);
+    if (!ok) {
+      delete[] pxs; delete[] pys; delete[] qxs; delete[] qys;
+      return -3;
+    }
+    m++;
   }
-  fp12 result;
+  fp12 f = FP12_ONE, result;
+  if (m) miller_loop_multi(pxs, pys, qxs, qys, m, f);
+  delete[] pxs; delete[] pys; delete[] qxs; delete[] qys;
   final_exponentiation(f, result);
   return fp12_eq(result, FP12_ONE) ? 1 : 0;
+}
+
+// Internal consistency check, callable from tests: validates the optimized
+// final exponentiation (HHT chain + cyclotomic squarings) against the plain
+// square-and-multiply hard part (EXP_HARD), and the cyclotomic squaring
+// against the generic fp12 squaring, on a Miller-loop output. The HHT chain
+// computes the 3rd power of the plain hard part (cofactor 3), so the plain
+// result is cubed before comparison. Returns 1 on success.
+int kzg_pairing_selftest(const uint8_t *g1_xy96, const uint8_t *g2_xyxy192) {
+  fp px, py;
+  fp2 qx, qy;
+  if (!fp_from_bytes(g1_xy96, px) || !fp_from_bytes(g1_xy96 + 48, py))
+    return -3;
+  if (!fp_from_bytes(g2_xyxy192, qx.c0) ||
+      !fp_from_bytes(g2_xyxy192 + 48, qx.c1) ||
+      !fp_from_bytes(g2_xyxy192 + 96, qy.c0) ||
+      !fp_from_bytes(g2_xyxy192 + 144, qy.c1))
+    return -3;
+  fp12 f;
+  miller_loop_multi(&px, &py, &qx, &qy, 1, f);
+  // easy part
+  fp12 m, t0, t1;
+  fp12_conj(f, t0);
+  fp12_inv(f, t1);
+  fp12_mul(t0, t1, m);
+  fp12_frobenius(m, t0);
+  fp12_frobenius(t0, t0);
+  fp12_mul(t0, m, m);
+  // cyclotomic squaring vs generic squaring
+  fp12 cs, gs;
+  fp12_cyc_sqr(m, cs);
+  fp12_sqr(m, gs);
+  if (!fp12_eq(cs, gs)) return 0;
+  // optimized full final exp vs plain hard part cubed
+  fp12 fast, plain, plain3;
+  final_exponentiation(f, fast);
+  fp12_pow(m, EXP_HARD, 20, plain);
+  fp12_sqr(plain, plain3);
+  fp12_mul(plain3, plain, plain3);
+  if (!fp12_eq(fast, plain3)) return 0;
+  return 1;
 }
 
 }  // extern "C"
