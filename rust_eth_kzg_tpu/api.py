@@ -146,13 +146,21 @@ class Context4844:
                 f"{len(blobs)} blobs, {len(commitments)} commitments, "
                 f"{len(proofs)} proofs"
             )
+        if not blobs:
+            return  # empty batch verifies vacuously (eip4844/src/verifier.rs:84)
         cs = ser.deserialize_g1_batch(list(commitments))
         pfs = ser.deserialize_g1_batch(list(proofs))
-        zs, ys = [], []
-        for blob, commitment in zip(blobs, commitments):
-            z, y = self._blob_challenge_eval(blob, commitment)
-            zs.append(z)
-            ys.append(y)
+        # challenges are host hashes; the per-blob polynomial evaluations run
+        # as ONE batched device call (deserialize -> IFFT -> Horner over [B])
+        zs = [
+            fs.compute_blob_challenge(blob, commitment)
+            for blob, commitment in zip(blobs, commitments)
+        ]
+        data = np.stack([ser.deserialize_blob(b) for b in blobs], axis=1)
+        poly = self._prover.blob_to_poly(F.to_mont(FR, jnp.asarray(data)))
+        zm = jnp.asarray(FR.to_mont_host(zs))  # [L, B]
+        y_mont = POLY.poly_eval(poly, zm)  # [L, B]
+        ys = FR.from_mont_host(np.asarray(F.canonical(FR, y_mont)))
         r_powers = fs.compute_r_powers_blob_batch(
             self._poly_domain.size, commitments, zs, ys, proofs, len(blobs)
         )
@@ -255,6 +263,8 @@ class DASContext:
 
     def compute_cells_and_kzg_proofs_batch(self, blobs: list[bytes]):
         """TPU-native batched variant: one jit invocation for B blobs."""
+        if not blobs:
+            raise SerializationError("batch contains no blobs")
         data = np.stack([ser.deserialize_blob(b) for b in blobs], axis=1)
         dev = F.to_mont(FR, jnp.asarray(data))
         proofs_aff, cells = self.prover.prove_from_data(dev)
@@ -272,7 +282,34 @@ class DASContext:
         proofs_aff, out_cells = self.prover.prove_from_poly(poly)
         return _cells_to_bytes(out_cells)[0], _proofs_to_bytes(proofs_aff)[0]
 
+    def recover_cells_and_kzg_proofs_batch(
+        self, batches: list[tuple[list[int], list[bytes]]]
+    ):
+        """Batched recovery: list of (cell_indices, cells) pairs -> list of
+        (cells, proofs). The per-blob erasure patterns may differ; the
+        vanishing polynomials are built per blob on the host (tiny), while
+        the 5-NTT recovery and the FK20 re-prove run as ONE batched device
+        program over all blobs. No reference analog (the reference is
+        strictly per-blob, recovery.rs:22-88); this is the TPU-native
+        throughput path."""
+        if not batches:
+            raise SerializationError("batch contains no recovery inputs")
+        e_evals, z_stds = [], []
+        for cell_indices, cells in batches:
+            e_eval, missing = self._recover_inputs(cell_indices, cells)
+            e_evals.append(e_eval)
+            z_stds.append(self.rs.construct_vanishing_poly(missing))
+        e_eval = jnp.concatenate(e_evals, axis=1)  # [L, B, ext]
+        z_std = jnp.asarray(np.stack(z_stds, axis=1))  # [L, B, ext]
+        poly = self.rs.recover_polynomial_coefficient_batch(e_eval, z_std)
+        proofs_aff, out_cells = self.prover.prove_from_poly(poly)
+        return list(zip(_cells_to_bytes(out_cells), _proofs_to_bytes(proofs_aff)))
+
     def _recover_polynomial_coeff(self, cell_indices, cells) -> jnp.ndarray:
+        e_eval, missing = self._recover_inputs(cell_indices, cells)
+        return self.rs.recover_polynomial_coefficient(e_eval, missing)
+
+    def _recover_inputs(self, cell_indices, cells):
         # validation (recovery.rs:90-151)
         if len(cell_indices) != len(cells):
             raise RecoveryError(
@@ -313,7 +350,7 @@ class DASContext:
             if i not in set(indices_normal)
         ]
         e_eval = F.to_mont(FR, jnp.asarray(flat.T))[:, None, :]  # [L, 1, ext]
-        return self.rs.recover_polynomial_coefficient(e_eval, missing)
+        return e_eval, missing
 
     # --- verifier API (verifier.rs:49-112) ---
 

@@ -100,14 +100,17 @@ class ReedSolomon:
     @partial(jax.jit, static_argnums=0)
     def _recover_device(self, e_eval: jnp.ndarray, z_std: jnp.ndarray):
         """Device part: e_eval [L, B, n] Montgomery (zeros at erasures),
-        z_std [L, n] standard-form vanishing coefficients.
+        z_std [L, n] (shared) or [L, B, n] (per-blob) standard-form vanishing
+        coefficients.
 
         Returns (coefficients [L, B, n] Montgomery, ok_mask [B]) where ok is
         False if the recovered polynomial exceeds degree poly_len
         (reed_solomon.rs:365-383)."""
         g = FR_MULTIPLICATIVE_GENERATOR
         dom = self.evaluation_domain
-        z_x = F.to_mont(FR, z_std)[:, None, :]  # [L, 1, n]
+        z_x = F.to_mont(FR, z_std)
+        if z_x.ndim == 2:
+            z_x = z_x[:, None, :]  # [L, 1, n] broadcasts over the blob batch
         z_eval = dom.fft(z_x)
         ez_eval = F.mont_mul(FR, z_eval, e_eval)
         dz_coeffs = dom.ifft(ez_eval)
@@ -134,5 +137,20 @@ class ReedSolomon:
         if not bool(np.asarray(ok).all()):
             raise RecoveryError(
                 "recovered polynomial has invalid degree (corrupt input cells?)"
+            )
+        return d_coeffs[..., : self.poly_len]
+
+    def recover_polynomial_coefficient_batch(
+        self, e_eval: jnp.ndarray, z_std: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Batched variant with per-blob vanishing polynomials: e_eval
+        [L, B, n], z_std [L, B, n] standard-form (from
+        `construct_vanishing_poly` per blob). One device program for all B."""
+        d_coeffs, ok = self._recover_device(e_eval, z_std)
+        if not bool(np.asarray(ok).all()):
+            bad = [i for i, v in enumerate(np.asarray(ok)) if not v]
+            raise RecoveryError(
+                f"recovered polynomial has invalid degree for batch entries "
+                f"{bad} (corrupt input cells?)"
             )
         return d_coeffs[..., : self.poly_len]

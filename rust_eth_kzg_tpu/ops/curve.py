@@ -295,27 +295,36 @@ def reduce_sum(p: G1, axis: int = 1) -> G1:
 
 
 # --- GLV endomorphism: phi(x, y) = (beta*x, y) acts as multiplication by
-# lambda = z^2 - 1 (z the BLS parameter); scalars split into two ~128-bit
-# halves so scalar multiplication needs half the doublings. ---
+# lambda (a cube root of unity mod r on these j=0 curves); scalars split into
+# two half-width parts so scalar multiplication needs half the doublings.
+# The lattice basis and digit width come from constants (BLS12-381 or the
+# tiny test field). ---
 
-GLV_LAMBDA = 0xAC45A4010001A40200000000FFFFFFFF
-_GLV_BETA = 0x1A0111EA397FE699EC02408663D4DE85AA0D857D89759AD4897D29650FB85F9B409427EB4F49FFFD8BFD00000000AAAC
+from ..constants import GLV_BETA as _GLV_BETA
+from ..constants import GLV_BASIS as _GLV_BASIS
+from ..constants import GLV_LAMBDA, GLV_NBITS
+
 _GLV_BETA_MONT = limb_utils.int_to_limbs(_GLV_BETA * FP.r_mod_p % P, FP_LIMBS)
-_GLV_Z2 = 0xD201000000010000 ** 2
-GLV_NBITS = 130
+
+
+def _round_div(a: int, b: int) -> int:
+    """round(a / b) for b > 0, correct for negative a."""
+    return (2 * a + b) // (2 * b)
 
 
 def glv_decompose(k: int):
     """k -> (|k1|, k1<0, |k2|, k2<0) with k = k1 + k2*lambda (mod r),
-    |ki| < 2^129 (Babai rounding against the lattice basis
-    v1 = (lambda, -1), v2 = (1, z^2))."""
+    |ki| < 2^(GLV_NBITS-1): Babai rounding against the short lattice basis
+    v1 = (x1, y1), v2 = (x2, y2) of {(x, y) : x + y*lambda = 0 mod r}."""
     from ..constants import R_SCALAR
 
+    x1, y1, x2, y2 = _GLV_BASIS
+    det = x1 * y2 - x2 * y1  # = +-r
     k %= R_SCALAR
-    c1 = (k * _GLV_Z2 + R_SCALAR // 2) // R_SCALAR
-    c2 = (k + R_SCALAR // 2) // R_SCALAR
-    k1 = k - c1 * GLV_LAMBDA - c2
-    k2 = c1 - c2 * _GLV_Z2
+    c1 = _round_div(k * y2, det)
+    c2 = _round_div(-k * y1, det)
+    k1 = k - c1 * x1 - c2 * x2
+    k2 = -(c1 * y1 + c2 * y2)
     assert (k1 + k2 * GLV_LAMBDA) % R_SCALAR == k
     assert abs(k1) < (1 << (GLV_NBITS - 1)) and abs(k2) < (1 << (GLV_NBITS - 1))
     return abs(k1), k1 < 0, abs(k2), k2 < 0

@@ -27,22 +27,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import FP_LIMBS, FR_LIMBS, LIMB_BITS
+from ..constants import FP_LIMBS, FR_LIMBS, LIMB_BITS, SCALAR_BITS
 from . import curve as C
 from . import field as F
 
 FR = F.FR
 FP = F.FP
-SCALAR_BITS = 256  # canonical scalars are < 2^255; one headroom bit for Booth
 
 
-def scalar_bits_msb(scalars_mont: jnp.ndarray, nbits: int = 255) -> jnp.ndarray:
+def scalar_bits_msb(scalars_mont: jnp.ndarray, nbits: int | None = None) -> jnp.ndarray:
     """Montgomery Fr scalars [L, *batch] -> MSB-first bit array [nbits, *batch]."""
+    if nbits is None:
+        nbits = min(SCALAR_BITS - 1, FR.modulus.bit_length())
     std = F.from_mont(FR, scalars_mont)  # canonical standard form
+    zero = jnp.zeros_like(std[0])
     rows = []
     for t in range(nbits - 1, -1, -1):
         limb, off = divmod(t, LIMB_BITS)
-        rows.append((std[limb] >> off) & 1)
+        rows.append((std[limb] >> off) & 1 if limb < std.shape[0] else zero)
     return jnp.stack(rows).astype(bool)
 
 
@@ -140,15 +142,29 @@ class FixedBaseMSM:
 
 
 @partial(jax.jit, static_argnums=2)
-def _table_chunk(acc: C.G1, base_aff: C.G1Affine, dc: int):
-    """Next dc multiples starting at `acc`, normalized to affine [L, P, dc]."""
+def _table_chunk(acc: C.G1, pows, dc: int):
+    """Next dc multiples starting at `acc`, normalized to affine [L, P, dc].
 
-    def step(a, _):
-        return C.add_mixed(a, base_aff), a
-
-    acc, multiples = jax.lax.scan(step, acc, None, length=dc)  # [dc, L, P]
-    stacked = C.G1(*(jnp.moveaxis(c, 0, -1) for c in multiples))  # [L, P, dc]
-    return acc, C.batch_normalize(stacked)
+    Log-depth block doubling (round-4 init fix): the block of multiples
+    [acc, acc+B, ..., acc+(w-1)B] extends to width 2w with ONE batched
+    complete add of w*B (`pows[j]` = 2^j * B, precomputed by the caller) —
+    log2(dc) batched adds instead of dc sequential ones. The old per-step
+    scan was latency-bound and dominated cold context initialization.
+    """
+    block = C.G1(*(c[..., None] for c in acc))
+    w, j = 1, 0
+    while w < dc:
+        pw = pows[j]
+        ext = C.add(
+            block,
+            C.G1(*(jnp.broadcast_to(c[..., None], c.shape + (w,)) for c in pw)),
+        )
+        block = C.G1(
+            *(jnp.concatenate([b, e], axis=-1) for b, e in zip(block, ext))
+        )
+        w, j = 2 * w, j + 1
+    acc_next = C.add(acc, pows[j])  # + dc * B
+    return acc_next, C.batch_normalize(block)
 
 
 @jax.jit
@@ -171,15 +187,20 @@ def _build_tables(points: C.G1, window: int):
     """points: G1 [P] -> multiples 1..2^(w-1) as [P, 2L, D] f32 tables.
 
     Built in chunks along the multiples axis: normalizing all P * 2^(w-1)
-    points in one program needs several live copies of the full table and
-    OOMs HBM for chained mainnet tables."""
+    points in one program needs several live copies of the full table, which
+    is tight in HBM for chained mainnet tables; dc=64 keeps the peak at a few
+    GB while halving the number of batch-inversion passes vs dc=16."""
     d = 1 << (window - 1)
     base_aff = C.batch_normalize(points)
-    dc = min(16, d)
+    dc = min(64, d)
+    nlev = dc.bit_length() - 1
+    pows = [points]  # 2^j * B for j = 0..log2(dc)
+    for _ in range(nlev):
+        pows.append(C.double(pows[-1]))
     acc = points
     rows = []
     for _ in range(d // dc):
-        acc, aff = _table_chunk(acc, base_aff, dc)
+        acc, aff = _table_chunk(acc, tuple(pows), dc)
         rows.append(_rows_layout(aff.x, aff.y))
     return jnp.concatenate(rows, axis=-1), base_aff.inf
 
@@ -369,6 +390,149 @@ def fixed_base_msm(tables: FixedBaseMSM, scalars_mont: jnp.ndarray) -> C.G1:
     return acc
 
 
+def _hs_scan_add(p: C.G1, flags: jnp.ndarray) -> C.G1:
+    """Inclusive (segmented) prefix scan of group addition along the last axis.
+
+    Hillis-Steele: log2(n) rounds of `s[i] = combine(s[i - 2^k], s[i])`,
+    where combine((va, fa), (vb, fb)) = (fb ? vb : va + vb, fa | fb) is the
+    standard segmented-sum operator. `flags[i]` marks segment starts; pass
+    zeros for a plain prefix scan. The rounds run as a `lax.scan` over the
+    shift exponent with a dynamic `jnp.roll`, so the compiled graph holds ONE
+    complete-add body regardless of n — latency is log2(n) sequential adds,
+    each fully parallel across every lane of the batch.
+    """
+    n = p.x.shape[-1]
+    nlev = max(n - 1, 0).bit_length()
+    if nlev == 0:
+        return p
+    shifts = jnp.asarray([1 << k for k in range(nlev)], dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def level(carry, sh):
+        v, f = carry
+        vs = C.G1(*(jnp.roll(c, sh, axis=-1) for c in v))
+        fs = jnp.roll(f, sh, axis=-1)
+        valid = idx >= sh  # lanes with a left neighbour 2^k away
+        keep = jnp.logical_or(f, jnp.logical_not(valid))
+        combined = C.add_values(vs, v)
+        newv = C.select(keep, v, combined)
+        newf = jnp.logical_or(f, jnp.logical_and(valid, fs))
+        return (newv, newf), None
+
+    (p, _), _ = jax.lax.scan(level, (p, flags), shifts)
+    return p
+
+
+def _lane_sum(p: C.G1) -> C.G1:
+    """Sum along the last axis via the one-add-body prefix scan (take the last
+    element). Unlike `curve.reduce_sum` this inlines a single addition body —
+    used where compile-time matters more than the ~2x work of Hillis-Steele."""
+    zeros = jnp.zeros(p.x.shape[1:], dtype=bool)
+    s = _hs_scan_add(p, zeros)
+    return C.G1(*(c[..., -1] for c in s))
+
+
+@partial(jax.jit, static_argnums=2)
+def pippenger_msm(
+    points: C.G1, scalars_mont: jnp.ndarray, window: int = 8
+) -> C.G1:
+    """Variable-base MSM sum_i k_i P_i by signed-window bucket accumulation.
+
+    TPU-native Pippenger, replacing blst's `multi_exp` behind `g1_lincomb`
+    (/root/reference/crates/cryptography/bls12_381/src/lincomb.rs:29-59). The
+    serial bucket loop becomes data-parallel machinery:
+
+    1. signed w-bit digits per window (shared `signed_digits`);
+    2. per window, argsort points by bucket index |d|-1 (one XLA sort);
+    3. bucket sums via a *segmented* prefix scan of complete adds over the
+       sorted point axis — log2(N) sequential adds, every lane parallel;
+    4. per-bucket totals gathered at each bucket's last position (computed
+       from a one-hot histogram + cumsum), absent buckets -> identity;
+    5. sum_b (b+1) * bucket_b via the suffix-scan identity
+       sum_b S_b with S_j = sum_{b>=j} bucket_b — two more prefix scans;
+    6. Horner over windows (w doublings + 1 add per window).
+
+    points: G1 [*batch, N]; scalars_mont: [FR_LIMBS, *batch, N]. Returns G1
+    with batch shape [*batch]. Work is ~2 N log2(N) / (N per window) lane-adds
+    vs the 510 N of the double-and-add scan; sequential depth drops ~2x and
+    per-step work collapses onto wide lanes.
+    """
+    digits = signed_digits(scalars_mont, window)  # [W, *batch, N] int32
+    n_win = digits.shape[0]
+    h = 1 << (window - 1)
+    n = points.x.shape[-1]
+
+    # per-window signed points: negate y where d < 0, identity where d == 0
+    d = digits
+    neg_mask = d < 0
+    zero_mask = d == 0
+    bx = jnp.broadcast_to(points.x[:, None], (FP_LIMBS,) + d.shape)
+    by = jnp.broadcast_to(points.y[:, None], (FP_LIMBS,) + d.shape)
+    bz = jnp.broadcast_to(points.z[:, None], (FP_LIMBS,) + d.shape)
+    by = F.select(neg_mask, F.neg(FP, by, kp=4), by)
+    one = FP.broadcast_const(FP.one_mont, d.shape)
+    zero = jnp.zeros_like(bx)
+    bx = F.select(zero_mask, zero, bx)
+    by = F.select(zero_mask, one, by)
+    bz = F.select(zero_mask, zero, bz)
+
+    # sort each window's points by bucket index
+    b_idx = jnp.maximum(jnp.abs(d) - 1, 0)  # [W, *batch, N] in [0, h)
+    order = jnp.argsort(b_idx, axis=-1)
+    b_sorted = jnp.take_along_axis(b_idx, order, axis=-1)
+    gidx = jnp.broadcast_to(order[None], bx.shape)
+    p = C.G1(
+        x=jnp.take_along_axis(bx, gidx, axis=-1),
+        y=jnp.take_along_axis(by, gidx, axis=-1),
+        z=jnp.take_along_axis(bz, gidx, axis=-1),
+    )
+
+    # segmented scan over the sorted axis; segment starts where the bucket
+    # index changes (position 0 starts a segment by construction of `valid`)
+    flags = jnp.concatenate(
+        [
+            jnp.zeros_like(b_sorted[..., :1], dtype=bool),
+            b_sorted[..., 1:] != b_sorted[..., :-1],
+        ],
+        axis=-1,
+    )
+    scanned = _hs_scan_add(p, flags)
+
+    # bucket totals: value of the scan at each bucket's last position
+    counts = jnp.sum(
+        b_sorted[..., None] == jnp.arange(h, dtype=jnp.int32), axis=-2
+    )  # [W, *batch, h]
+    last_pos = jnp.cumsum(counts, axis=-1) - 1
+    present = counts > 0
+    lp = jnp.maximum(last_pos, 0)
+    glp = jnp.broadcast_to(lp[None], scanned.x.shape[:-1] + (h,))
+    bucket = C.G1(
+        x=jnp.take_along_axis(scanned.x, glp, axis=-1),
+        y=jnp.take_along_axis(scanned.y, glp, axis=-1),
+        z=jnp.take_along_axis(scanned.z, glp, axis=-1),
+    )
+    ident = C.identity(bucket.batch_shape)
+    bucket = C.select(present, bucket, ident)
+
+    # weighted reduction sum_b (b+1) * bucket_b = sum_j suffix_j
+    rev = C.G1(*(c[..., ::-1] for c in bucket))
+    zerof = jnp.zeros(rev.x.shape[1:], dtype=bool)
+    suffix = _hs_scan_add(rev, zerof)  # suffix sums, reversed order
+    wsums = _lane_sum(suffix)  # [W, *batch]
+
+    # Horner over windows, most significant first
+    acc = C.G1(*(c[:, n_win - 1] for c in wsums))
+    rest = C.G1(*(jnp.moveaxis(c, 1, 0)[n_win - 2 :: -1] for c in wsums))
+
+    def step(acc, ws):
+        for _ in range(window):
+            acc = C.double(acc)
+        return C.add(acc, C.G1(*ws)), None
+
+    acc, _ = jax.lax.scan(step, acc, tuple(rest))
+    return acc
+
+
 def lincomb_host(points: C.G1, scalars: list[int]) -> C.G1:
     """Variable-base MSM where the scalars are host integers (verifier paths):
     GLV-split double-and-add (half the depth of the generic `lincomb`)."""
@@ -379,7 +543,6 @@ def lincomb_host(points: C.G1, scalars: list[int]) -> C.G1:
     return C.reduce_sum(per_point, axis=per_point.x.ndim - 1)
 
 
-@jax.jit
 def lincomb(points: C.G1, scalars_mont: jnp.ndarray) -> C.G1:
     """Variable-base MSM sum_i k_i * P_i over the last batch axis.
 
@@ -387,7 +550,21 @@ def lincomb(points: C.G1, scalars_mont: jnp.ndarray) -> C.G1:
     formulas make the reference's identity/zero filtering
     (/root/reference/crates/cryptography/bls12_381/src/lincomb.rs:13-22)
     unnecessary: those lanes simply contribute the identity.
+
+    Dispatches on N (a static shape): large point sets run the Pippenger
+    bucket engine; small ones keep the simple double-and-add scan whose graph
+    is a single add/double body (cheaper to compile, and at tiny N the bucket
+    machinery has nothing to amortize).
     """
+    n = points.x.shape[-1]
+    if n >= 64:
+        window = min(8, max(4, n.bit_length() - 4))
+        return pippenger_msm(points, scalars_mont, window)
+    return _lincomb_scan(points, scalars_mont)
+
+
+@jax.jit
+def _lincomb_scan(points: C.G1, scalars_mont: jnp.ndarray) -> C.G1:
     bits = scalar_bits_msb(scalars_mont)  # [255, *batch, N]
     per_point = C.scalar_mul(points, bits)  # [*batch, N]
     return C.reduce_sum(per_point, axis=per_point.x.ndim - 1)

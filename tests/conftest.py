@@ -20,12 +20,17 @@ import jax  # noqa: E402
 
 # Keep the accelerator (axon TPU) as the default compute backend when present,
 # but always expose a CPU backend so sharding tests can build the virtual
-# 8-device mesh via jax.devices("cpu").
+# 8-device mesh via jax.devices("cpu"). The update must be unconditional:
+# some environments register the accelerator from sitecustomize in a way that
+# overrides JAX_PLATFORMS, so `JAX_PLATFORMS=cpu pytest` only works if we
+# push the env value through jax.config ourselves.
 _platforms = os.environ.get("JAX_PLATFORMS", "")
-if _platforms and "cpu" not in _platforms:
-    jax.config.update("jax_platforms", _platforms + ",cpu")
-elif not _platforms:
+if not _platforms:
     jax.config.update("jax_platforms", "cpu")
+elif "cpu" not in _platforms.split(","):
+    jax.config.update("jax_platforms", _platforms + ",cpu")
+else:
+    jax.config.update("jax_platforms", _platforms)
 
 # Persistent compilation cache: the limb-arithmetic graphs are large and
 # compile-heavy; caching makes repeated test runs fast.

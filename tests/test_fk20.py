@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from rust_eth_kzg_tpu import constants
 from rust_eth_kzg_tpu.constants import R_SCALAR
 from rust_eth_kzg_tpu.models import naive
 from rust_eth_kzg_tpu.models.fk20 import FK20Config, FK20Prover
@@ -67,6 +68,9 @@ def test_fk20_prove_matches_naive(setup):
         assert got_cell == want_cell, f"cell mismatch at coset {k}"
 
 
+@pytest.mark.skipif(
+    constants.FIELD != "bls12_381", reason="pairing check is BLS12-381 only"
+)
 def test_fk20_commit_and_pairing_verify(setup):
     g1s, g2s, tau, prover = setup
     poly = [random.randrange(R_SCALAR) for _ in range(CFG.poly_len)]

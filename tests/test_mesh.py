@@ -65,3 +65,46 @@ def test_prove_work_sharded_matches_single(tiny_prover, tiny_data):
     np.testing.assert_array_equal(
         np.asarray(single_proofs.x), np.asarray(proofs.x)
     )
+
+
+def test_lincomb_sharded_matches_single():
+    """Point-sharded MSM (shard_map + all_gather combine) == unsharded."""
+    import random
+
+    from rust_eth_kzg_tpu.constants import R_SCALAR
+    from rust_eth_kzg_tpu.ops import curve as C
+    from rust_eth_kzg_tpu.ops import msm as M
+    from rust_eth_kzg_tpu.utils import bls_host as B
+
+    random.seed(31)
+    n = 16
+    mesh = pmesh.make_mesh(8, devices=jax.devices("cpu"))
+    pts = [B.g1_mul(B.G1_GEN, random.randrange(1, R_SCALAR)) for _ in range(n)]
+    pts[3] = None
+    scal = [random.randrange(R_SCALAR) for _ in range(n)]
+    scal[5] = 0
+    dev = C.points_to_device(pts)
+    sm = jnp.asarray(FR.to_mont_host(scal))
+    got = pmesh.lincomb_sharded(dev, sm, mesh, axis="work")
+    want = M.lincomb(dev, sm)
+    assert bool(np.asarray(C.equal(got, want)))
+
+
+def test_fft_sharded_matches_single():
+    """Four-step NTT with explicit all_to_all == single-device domain.fft."""
+    import random
+
+    from rust_eth_kzg_tpu.constants import R_SCALAR
+    from rust_eth_kzg_tpu.ops import ntt
+
+    random.seed(32)
+    n = 64
+    mesh = pmesh.make_mesh(8, devices=jax.devices("cpu"))
+    dom = ntt.domain(n)
+    xs = [random.randrange(R_SCALAR) for _ in range(2 * n)]
+    x = jnp.asarray(FR.to_mont_host(xs)).reshape(FR.nlimbs, 2, n)
+    got = pmesh.fft_sharded(dom, x, mesh, axis="work")
+    want = dom.fft(x)
+    assert F.FR.from_mont_host(
+        np.asarray(got).reshape(FR.nlimbs, -1)
+    ) == F.FR.from_mont_host(np.asarray(want).reshape(FR.nlimbs, -1))

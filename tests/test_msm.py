@@ -57,6 +57,34 @@ def test_fixed_base_msm_batched():
         assert got[i] == naive_msm(pts, scal[i])
 
 
+def test_pippenger_vs_naive():
+    n = 64
+    pts = [B.g1_mul(B.G1_GEN, random.randrange(1, R_SCALAR)) for _ in range(n)]
+    pts[5] = None  # identity lane
+    pts[6] = pts[9]  # duplicate points (complete adds must absorb them)
+    scalars = [random.randrange(R_SCALAR) for _ in range(n)]
+    scalars[7] = 0  # zero-scalar lane
+    got = C.points_from_device(
+        msm.pippenger_msm(
+            C.points_to_device(pts), jnp.asarray(FR.to_mont_host(scalars)), 4
+        )
+    )[0]
+    assert got == naive_msm(pts, scalars)
+
+
+def test_pippenger_batched_matches_lincomb_scan():
+    n, b = 64, 2
+    pts = [B.g1_mul(B.G1_GEN, random.randrange(1, R_SCALAR)) for _ in range(n)]
+    dev = C.points_to_device(pts)
+    batched = C.G1(*(jnp.broadcast_to(c[:, None], (c.shape[0], b, n)) for c in dev))
+    scal = [[random.randrange(R_SCALAR) for _ in range(n)] for _ in range(b)]
+    sm = jnp.stack([jnp.asarray(FR.to_mont_host(s)) for s in scal], axis=1)  # [L,B,n]
+    out = msm.pippenger_msm(batched, sm, 4)
+    got = C.points_from_device(out)
+    for i in range(b):
+        assert got[i] == naive_msm(pts, scal[i])
+
+
 def test_lincomb_vs_naive():
     n = 5
     pts = [B.g1_mul(B.G1_GEN, random.randrange(1, R_SCALAR)) for _ in range(n)]

@@ -9,10 +9,14 @@ from .spec_vectors import load_cases, unhex
 
 @pytest.fixture(scope="session")
 def ctx():
-    # narrow window keeps CPU setup light; results are window-independent
+    # narrow window keeps CPU setup light; results are window-independent.
+    # The table snapshot makes repeat suite runs skip the build entirely
+    # (checkpoint/resume path, utils/persist.py).
     from rust_eth_kzg_tpu.api import DASContext
 
-    return DASContext(use_precomp=4)
+    return DASContext(
+        use_precomp=4, table_cache="/root/repo/.tables/spec_w4_tables.npz"
+    )
 
 
 def expect(output, fn):
