@@ -199,9 +199,30 @@ def main():
     # --- cold init (tables rebuilt from the SRS on device) ---
     if os.environ.get("BENCH_COLD", "1") == "1":
         try:
+            import gc
+
+            # the warm context holds ~2 GB of window tables on device (plus
+            # the verifier's lazily-built commit tables); drop every live
+            # device buffer before the rebuild or the cold build OOMs the chip
+            ctx = prove = out = data = None
+            try:
+                del data1
+            except NameError:
+                pass
+            try:
+                del cells, proofs, commitment
+            except NameError:
+                pass
+            try:
+                del pts, sm
+            except NameError:
+                pass
+            gc.collect()
             t0 = time.time()
-            DASContext(use_precomp=window, table_cache=None)
+            cold = DASContext(use_precomp=window, table_cache=None)
             emit("initialize context (cold, tables rebuilt)", time.time() - t0, "s")
+            del cold
+            gc.collect()
         except Exception as e:
             note(f"cold init failed: {e!r}")
 
