@@ -9,6 +9,14 @@ documented estimate of 25 blobs/s (~40 ms/blob multithreaded on a modern
 16-core host). Other metrics report vs_baseline = null: no published
 reference numbers exist (BASELINE.md), and inventing them would be worse.
 
+MEASUREMENT NOTE (round 4): `jax.block_until_ready` is a no-op on the
+tunneled remote-TPU backend here — it returns at enqueue, so timing loops
+closed with it measure the DISPATCH rate, not execution. All device-path
+numbers recorded in rounds 1-3 (and the round-4 run of 2026-08-20 11:35) are
+dispatch rates. This harness now closes every timed region with a scalar
+device-to-host fetch (utils/timing.py), the only reliable execution barrier
+on this backend, and subtracts the measured fetch round-trip.
+
 Matrix (reference bench configs, file:line in BASELINE.md):
   init (cached tables)            eip7594/benches/benchmark-mt.rs:103-113
   init (cold, tables rebuilt)     same config, no snapshot      [BENCH_COLD=1]
@@ -70,8 +78,11 @@ def main():
     cache = os.environ.get(
         "KZG_TPU_TABLE_CACHE", "/root/repo/.tables/mainnet_tables.npz"
     )
+    from rust_eth_kzg_tpu.utils.timing import sync as _sync
+
     t0 = time.time()
     ctx = DASContext(use_precomp=window, table_cache=cache)
+    _sync(ctx.prover.tables)  # uploads are async-dispatched; wait for HBM
     init_s = time.time() - t0
     note(f"init (tables on device): {init_s:.1f}s")
     emit("initialize context (cached tables)", init_s, "s")
@@ -80,33 +91,27 @@ def main():
     scalars = [int(x) for x in rng.integers(0, 2**62, size=batch * 4096)]
     data = jnp.asarray(F.FR.to_mont_host(scalars)).reshape(F.FR.nlimbs, batch, 4096)
 
-    # --- headline: batched prove throughput (device path, methodology of
-    # rounds 1-3 for comparability) ---
+    # --- headline: batched prove throughput (device path, fetch-synced) ---
+    from rust_eth_kzg_tpu.utils.timing import sync, timeit
+
     prove = ctx.prover.prove_from_data
     t0 = time.time()
     out = prove(data)
-    jax.block_until_ready(out)
-    note(f"prove first call (compile+run): {time.time() - t0:.1f}s")
-    t0 = time.time()
-    for _ in range(iters):
-        out = prove(data)
-    jax.block_until_ready(out)
-    headline_blobs_per_s = batch / ((time.time() - t0) / iters)
+    sync(out)
+    note(f"prove first call (compile+run+sync): {time.time() - t0:.1f}s")
+    dt = timeit(prove, data, iters=iters)
+    headline_blobs_per_s = batch / dt
 
     # --- single-blob latency (batch=1) ---
     try:
         data1 = data[:, :1]
         t0 = time.time()
         out = prove(data1)
-        jax.block_until_ready(out)
+        sync(out)
         note(f"prove B=1 first call: {time.time() - t0:.1f}s")
-        t0 = time.time()
-        for _ in range(iters):
-            out = prove(data1)
-        jax.block_until_ready(out)
         emit(
             "compute_cells_and_kzg_proofs latency (1 blob)",
-            (time.time() - t0) / iters * 1e3,
+            timeit(prove, data1, iters=iters) * 1e3,
             "ms",
         )
     except Exception as e:
@@ -182,15 +187,11 @@ def main():
             return M.lincomb(pts, sm)
 
         t0 = time.time()
-        jax.block_until_ready(run_msm())
-        note(f"MSM 4096 first call (compile+run): {time.time() - t0:.1f}s")
-        t0 = time.time()
-        for _ in range(iters):
-            out = run_msm()
-        jax.block_until_ready(out)
+        sync(run_msm())
+        note(f"MSM 4096 first call (compile+run+sync): {time.time() - t0:.1f}s")
         emit(
             "G1 MSM 4096 points (Pippenger, variable base)",
-            (time.time() - t0) / iters * 1e3,
+            timeit(run_msm, iters=iters) * 1e3,
             "ms",
         )
     except Exception as e:
@@ -220,6 +221,7 @@ def main():
             gc.collect()
             t0 = time.time()
             cold = DASContext(use_precomp=window, table_cache=None)
+            sync(cold.prover.tables)  # the table build is async-dispatched too
             emit("initialize context (cold, tables rebuilt)", time.time() - t0, "s")
             del cold
             gc.collect()

@@ -28,14 +28,9 @@ from rust_eth_kzg_tpu.ops import field as F
 FR = F.FR
 
 
-def timeit(fn, *args, iters=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+# fetch-synced timing: block_until_ready is a no-op on the tunneled TPU
+# backend (returns at enqueue) — see rust_eth_kzg_tpu/utils/timing.py
+from rust_eth_kzg_tpu.utils.timing import timeit
 
 
 def main():
