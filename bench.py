@@ -218,6 +218,9 @@ def main():
                 del pts, sm
             except NameError:
                 pass
+            # the jit caches pin the warm prover (a static_argnums arg) and
+            # through it the multi-GB device tables — clear them too
+            jax.clear_caches()
             gc.collect()
             t0 = time.time()
             cold = DASContext(use_precomp=window, table_cache=None)

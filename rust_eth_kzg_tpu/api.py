@@ -390,9 +390,7 @@ class DASContext:
 
         dedup_points = ser.deserialize_g1_batch(unique)
         proof_points = ser.deserialize_g1_batch(proofs_bytes)
-        cell_limbs = np.stack(
-            [ser.deserialize_cell(c).T for c in cells], axis=0
-        )  # [K, coset, L]
+        cell_limbs = ser.deserialize_cells_batch(cells)  # [K, coset, L]
 
         r = fs.compute_cell_batch_challenge(
             self.config.poly_len,

@@ -332,18 +332,26 @@ def glv_decompose(k: int):
 
 def glv_bits_host(scalars: list[int]):
     """Host ints -> (bits1 [GLV_NBITS, N], neg1 [N], bits2, neg2) numpy arrays
-    (MSB-first bits)."""
+    (MSB-first bits). Bit extraction is vectorized (to_bytes + unpackbits):
+    the per-bit Python loop cost ~30 ms for a 384-scalar verify batch."""
     n = len(scalars)
-    bits1 = np.zeros((GLV_NBITS, n), dtype=bool)
-    bits2 = np.zeros((GLV_NBITS, n), dtype=bool)
+    nbytes = (GLV_NBITS + 7) // 8
+    raw1 = bytearray(n * nbytes)
+    raw2 = bytearray(n * nbytes)
     neg1 = np.zeros(n, dtype=bool)
     neg2 = np.zeros(n, dtype=bool)
     for i, k in enumerate(scalars):
         a1, n1, a2, n2 = glv_decompose(int(k))
         neg1[i], neg2[i] = n1, n2
-        for t in range(GLV_NBITS):
-            bits1[t, i] = (a1 >> (GLV_NBITS - 1 - t)) & 1
-            bits2[t, i] = (a2 >> (GLV_NBITS - 1 - t)) & 1
+        raw1[i * nbytes : (i + 1) * nbytes] = a1.to_bytes(nbytes, "big")
+        raw2[i * nbytes : (i + 1) * nbytes] = a2.to_bytes(nbytes, "big")
+    pad = 8 * nbytes - GLV_NBITS  # leading pad bits in each big-endian block
+    bits1 = np.unpackbits(
+        np.frombuffer(bytes(raw1), dtype=np.uint8).reshape(n, nbytes), axis=1
+    )[:, pad:].T.astype(bool)
+    bits2 = np.unpackbits(
+        np.frombuffer(bytes(raw2), dtype=np.uint8).reshape(n, nbytes), axis=1
+    )[:, pad:].T.astype(bool)
     return bits1, neg1, bits2, neg2
 
 

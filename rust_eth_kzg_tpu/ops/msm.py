@@ -184,25 +184,44 @@ def _rows_layout(aff_x: jnp.ndarray, aff_y: jnp.ndarray) -> jnp.ndarray:
 
 
 def _build_tables(points: C.G1, window: int):
-    """points: G1 [P] -> multiples 1..2^(w-1) as [P, 2L, D] f32 tables.
+    """points: G1 [*pts] -> multiples 1..2^(w-1) as [*pts, 4L, D] bf16 tables.
 
-    Built in chunks along the multiples axis: normalizing all P * 2^(w-1)
-    points in one program needs several live copies of the full table, which
-    is tight in HBM for chained mainnet tables; dc=64 keeps the peak at a few
-    GB while halving the number of batch-inversion passes vs dc=16."""
+    Built in chunks along the multiples axis (dc) AND in slices along the
+    point axis: the working set of one (slice, chunk) build step is
+    slice_pts * dc lanes ~ 1M (the block multiples + normalize temporaries
+    peak at ~2 GB) regardless of the total table size. The un-sliced mainnet
+    fk20 build (32768 chained points x 64-wide blocks) exhausted HBM.
+    Slices share one flattened shape, so `_table_chunk` compiles once and is
+    reused across the fk20 and commit builds (both slice to 16384 points)."""
     d = 1 << (window - 1)
     base_aff = C.batch_normalize(points)
     dc = min(64, d)
     nlev = dc.bit_length() - 1
-    pows = [points]  # 2^j * B for j = 0..log2(dc)
+    pshape = points.x.shape[1:]
+    npts = int(np.prod(pshape, dtype=np.int64))
+    flat = C.G1(*(c.reshape(c.shape[0], npts) for c in points))
+    pows_full = [flat]  # 2^j * B for j = 0..log2(dc)
     for _ in range(nlev):
-        pows.append(C.double(pows[-1]))
-    acc = points
-    rows = []
-    for _ in range(d // dc):
-        acc, aff = _table_chunk(acc, tuple(pows), dc)
-        rows.append(_rows_layout(aff.x, aff.y))
-    return jnp.concatenate(rows, axis=-1), base_aff.inf
+        pows_full.append(C.double(pows_full[-1]))
+    slice_pts = max(1, min(npts, (1 << 20) // dc))
+    out_slices = []
+    for s0 in range(0, npts, slice_pts):
+        s1 = min(npts, s0 + slice_pts)
+        acc = C.G1(*(c[:, s0:s1] for c in flat))
+        pows = tuple(
+            C.G1(*(c[:, s0:s1] for c in p)) for p in pows_full
+        )
+        rows = []
+        for _ in range(d // dc):
+            acc, aff = _table_chunk(acc, pows, dc)
+            rows.append(_rows_layout(aff.x, aff.y))
+        out_slices.append(jnp.concatenate(rows, axis=-1))  # [S, 4L, D]
+    rows_all = (
+        out_slices[0]
+        if len(out_slices) == 1
+        else jnp.concatenate(out_slices, axis=0)
+    )
+    return rows_all.reshape(pshape + rows_all.shape[1:]), base_aff.inf
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -414,7 +433,10 @@ def _hs_scan_add(p: C.G1, flags: jnp.ndarray) -> C.G1:
         fs = jnp.roll(f, sh, axis=-1)
         valid = idx >= sh  # lanes with a left neighbour 2^k away
         keep = jnp.logical_or(f, jnp.logical_not(valid))
-        combined = C.add_values(vs, v)
+        # C.add (not add_values): dispatches to the fused Pallas kernel on
+        # TPU — the complete-add body is 24-30x faster there than under XLA
+        # fusion (ROOFLINE.json), and this scan is Pippenger's hot loop
+        combined = C.add(vs, v)
         newv = C.select(keep, v, combined)
         newf = jnp.logical_or(f, jnp.logical_and(valid, fs))
         return (newv, newf), None

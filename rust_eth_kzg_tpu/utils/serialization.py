@@ -95,6 +95,25 @@ def deserialize_cell(cell: bytes) -> np.ndarray:
     return deserialize_scalars(cell)
 
 
+def deserialize_cells_batch(cells) -> np.ndarray:
+    """K cells -> [K, coset, L] standard-form limbs in ONE vectorized pass.
+
+    One unpackbits + matmul over all K*64 scalars instead of K separate
+    calls — per-call numpy overhead made the per-cell loop ~30 ms for a
+    128-cell verify batch (verify hot path)."""
+    cells = [bytes(c) for c in cells]
+    for c in cells:
+        if len(c) != BYTES_PER_CELL:
+            raise SerializationError(
+                f"cell has invalid length {len(c)}, expected {BYTES_PER_CELL}"
+            )
+    per_cell = BYTES_PER_CELL // BYTES_PER_FIELD_ELEMENT
+    std = deserialize_scalars(b"".join(cells))  # [L, K*coset]
+    return np.ascontiguousarray(
+        std.reshape(std.shape[0], len(cells), per_cell).transpose(1, 2, 0)
+    )
+
+
 def serialize_scalars(std_limbs) -> bytes:
     """Canonical standard-form limbs [L, N] -> N*32 big-endian bytes."""
     return L.limbs_to_bytes_be(np.asarray(std_limbs))

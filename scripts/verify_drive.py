@@ -30,6 +30,21 @@ t0 = time.time()
 ctx.verify_cell_kzg_proof_batch([commitment]*4, [0,1,2,3], list(cells[:4]), list(proofs[:4]))
 print(f"verify ok {time.time()-t0:.1f}s", flush=True)
 
+t0 = time.time()
+ctx.verify_cell_kzg_proof_batch(
+    [commitment] * 128, list(range(128)), list(cells), list(proofs)
+)
+print(f"verify-128 ok {time.time()-t0:.1f}s", flush=True)
+
+t0 = time.time()
+rcells, rproofs = ctx.recover_cells_and_kzg_proofs(
+    list(range(64)), list(cells[:64])
+)
+assert list(rcells) == list(cells) and list(rproofs) == list(proofs), (
+    "recovered cells/proofs do not match the originals"
+)
+print(f"recover ok {time.time()-t0:.1f}s", flush=True)
+
 from rust_eth_kzg_tpu.errors import Error
 for desc, fn in [
     ("short blob", lambda: ctx.blob_to_kzg_commitment(b"\0"*100)),
