@@ -126,20 +126,40 @@ class FK20Verifier:
         b1, n1, b2, n2 = C.glv_bits_host(
             [int(s) for s in r_powers + weighted + weights_padded]
         )
+        # one packed upload for the four GLV bit arrays: each host->device
+        # transfer is a ~20 ms round trip on the tunneled TPU
+        nb = b1.shape[0]
+        packed = jnp.asarray(
+            np.concatenate(
+                [b1, n1[None], b2, n2[None]], axis=0, dtype=np.bool_
+            )
+        )
         per_point = C.scalar_mul_glv(
             pts3,
-            jnp.asarray(b1).reshape(-1, 3, batch),
-            jnp.asarray(n1).reshape(3, batch),
-            jnp.asarray(b2).reshape(-1, 3, batch),
-            jnp.asarray(n2).reshape(3, batch),
+            packed[:nb].reshape(-1, 3, batch),
+            packed[nb].reshape(3, batch),
+            packed[nb + 1 : 2 * nb + 1].reshape(-1, 3, batch),
+            packed[2 * nb + 1].reshape(3, batch),
         )
         sums3 = C.reduce_sum(per_point, axis=2)  # G1 [3]
 
         # 4. random linear combination of the interpolation polynomials:
         #    per coset, un-bit-reverse, coset-IFFT, scale by r_i; all K at once
-        # [K, coset, L] standard-form limbs -> [L, K, coset] Montgomery
-        r_mont = jnp.asarray(FR.to_mont_host(r_powers))
-        evals = jnp.asarray(np.moveaxis(np.asarray(coset_evals_std), -1, 0))
+        # [K, coset, L] standard-form limbs -> [L, K, coset] Montgomery,
+        # shipped together with the r-power scalars as one packed upload
+        cs = self.coset_size
+        evals_np = np.moveaxis(np.asarray(coset_evals_std), -1, 0)
+        up = jnp.asarray(
+            np.concatenate(
+                [
+                    evals_np.reshape(FR.nlimbs, -1),
+                    np.asarray(FR.to_mont_host(r_powers), dtype=evals_np.dtype),
+                ],
+                axis=1,
+            )
+        )
+        evals = up[:, : batch * cs].reshape(FR.nlimbs, batch, cs)
+        r_mont = up[:, batch * cs :]
         evals = F.to_mont(FR, evals)
         evals = ntt.bit_reverse_permutation(evals, axis=-1)
         interp = self.coset_domain.ifft(evals)  # [L, K, coset]

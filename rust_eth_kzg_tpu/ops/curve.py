@@ -476,7 +476,12 @@ def batch_normalize(p: G1) -> G1Affine:
 
 
 def points_to_device(points) -> G1:
-    """List of host affine points ((x, y) ints or None) -> projective G1 [.., N]."""
+    """List of host affine points ((x, y) ints or None) -> projective G1 [.., N].
+
+    The three coordinate arrays ship as ONE packed device_put: on the
+    tunneled remote TPU every host->device transfer costs a ~20 ms round
+    trip, so three separate uploads tripled the latency of every
+    verifier-path point transfer."""
     xs, ys, zs = [], [], []
     for pt in points:
         if pt is None:
@@ -487,11 +492,12 @@ def points_to_device(points) -> G1:
             xs.append(pt[0])
             ys.append(pt[1])
             zs.append(1)
-    return G1(
-        x=jnp.asarray(FP.to_mont_host(xs)),
-        y=jnp.asarray(FP.to_mont_host(ys)),
-        z=jnp.asarray(FP.to_mont_host(zs)),
+    packed = np.concatenate(
+        [FP.to_mont_host(xs), FP.to_mont_host(ys), FP.to_mont_host(zs)], axis=0
     )
+    dev = jnp.asarray(packed)
+    nl = FP.nlimbs
+    return G1(x=dev[:nl], y=dev[nl : 2 * nl], z=dev[2 * nl :])
 
 
 def affine_to_device(points) -> G1Affine:
@@ -513,18 +519,40 @@ def affine_to_device(points) -> G1Affine:
     )
 
 
+@jax.jit
+def _pack_affine(p: G1) -> jnp.ndarray:
+    """Normalize + pack (x, y, inf) into one array for a single-RTT fetch."""
+    aff = batch_normalize(p)
+    return jnp.concatenate(
+        [aff.x, aff.y, aff.inf[None].astype(aff.x.dtype)], axis=0
+    )
+
+
 def points_from_device(p: G1) -> list:
-    """Projective G1 (any batch shape, flattened) -> list of host affine/None."""
+    """Projective G1 (any batch shape, flattened) -> list of host affine/None.
+
+    One packed device->host fetch: on the tunneled remote TPU each fetch is
+    a ~20 ms round trip, and the x/y/inf triple fetched separately put three
+    of them on the verify critical path."""
     flat = G1(*(c.reshape(FP_LIMBS, -1) for c in p))
-    aff = batch_normalize(flat)
-    xs = FP.from_mont_host(np.asarray(aff.x))
-    ys = FP.from_mont_host(np.asarray(aff.y))
-    inf = np.asarray(aff.inf)
+    host = np.asarray(_pack_affine(flat))
+    xs = FP.from_mont_host(host[:FP_LIMBS])
+    ys = FP.from_mont_host(host[FP_LIMBS : 2 * FP_LIMBS])
+    inf = host[2 * FP_LIMBS].astype(bool)
     return [None if i else (x, y) for x, y, i in zip(xs, ys, inf)]
 
 
 def affine_from_device(aff: G1Affine) -> list:
-    xs = FP.from_mont_host(np.asarray(aff.x.reshape(FP_LIMBS, -1)))
-    ys = FP.from_mont_host(np.asarray(aff.y.reshape(FP_LIMBS, -1)))
-    inf = np.asarray(aff.inf).reshape(-1)
+    packed = jnp.concatenate(
+        [
+            aff.x.reshape(FP_LIMBS, -1),
+            aff.y.reshape(FP_LIMBS, -1),
+            aff.inf.reshape(1, -1).astype(aff.x.dtype),
+        ],
+        axis=0,
+    )
+    host = np.asarray(packed)  # one device->host round trip
+    xs = FP.from_mont_host(host[:FP_LIMBS])
+    ys = FP.from_mont_host(host[FP_LIMBS : 2 * FP_LIMBS])
+    inf = host[2 * FP_LIMBS].astype(bool)
     return [None if i else (x, y) for x, y, i in zip(xs, ys, inf)]

@@ -18,7 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 # Bump when the FixedBaseMSM table memory layout changes.
-LAYOUT_VERSION = 3
+# v4: rows stored as uint8 (the bf16 values are exact 8-bit limb halves) —
+# half the snapshot bytes, which halves the host->device upload that
+# dominates snapshot init on the tunneled TPU.
+LAYOUT_VERSION = 4
 
 
 def srs_fingerprint(commit_key_points: list) -> str:
@@ -31,8 +34,8 @@ def srs_fingerprint(commit_key_points: list) -> str:
 
 
 def _table_arrays(prefix: str, tables) -> dict:
-    # bf16 is not a native numpy dtype; persist the raw bit pattern
-    rows = np.asarray(tables.table_rows).view(np.uint16)
+    # the bf16 rows hold exact 8-bit limb halves; persist them as uint8
+    rows = np.asarray(tables.table_rows).astype(np.uint8)
     return {
         f"{prefix}_rows": rows,
         f"{prefix}_inf": np.asarray(tables.base_inf),
@@ -43,14 +46,13 @@ def _table_arrays(prefix: str, tables) -> dict:
 
 
 def _table_from(data, prefix: str):
-    import ml_dtypes
-
     from ..ops.msm import FixedBaseMSM
 
     meta = data[f"{prefix}_meta"]
-    rows = data[f"{prefix}_rows"].view(ml_dtypes.bfloat16)
+    # upload the uint8 rows (half the bytes of bf16) and widen on device
+    rows = jnp.asarray(data[f"{prefix}_rows"]).astype(jnp.bfloat16)
     return FixedBaseMSM(
-        table_rows=jnp.asarray(rows),
+        table_rows=rows,
         base_inf=jnp.asarray(data[f"{prefix}_inf"]),
         window=int(meta[0]),
         instance_ndim=int(meta[1]),
