@@ -74,6 +74,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     window = int(os.environ.get("BENCH_WINDOW", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t_bench_start = time.time()
 
     cache = os.environ.get(
         "KZG_TPU_TABLE_CACHE", "/root/repo/.tables/mainnet_tables.npz"
@@ -198,7 +199,14 @@ def main():
         note(f"MSM bench failed: {e!r}")
 
     # --- cold init (tables rebuilt from the SRS on device) ---
-    if os.environ.get("BENCH_COLD", "1") == "1":
+    # skipped when the earlier metrics already consumed the wall budget: the
+    # rebuild is ~5 min worst-case (table build + possible recompiles) and
+    # must not starve the headline metric of its run
+    elapsed = time.time() - t_bench_start
+    deadline = float(os.environ.get("BENCH_COLD_DEADLINE_S", "1500"))
+    if os.environ.get("BENCH_COLD", "1") == "1" and elapsed > deadline:
+        note(f"skipping cold init (elapsed {elapsed:.0f}s > {deadline:.0f}s)")
+    elif os.environ.get("BENCH_COLD", "1") == "1":
         try:
             import gc
 
