@@ -7,6 +7,10 @@ pipeline (dp blob-batch layout and the intra-blob work layout with its
 all-gather over the proof-slot axis) changes nothing about the numerics.
 """
 
+import os
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,9 +23,50 @@ from rust_eth_kzg_tpu.parallel import mesh as pmesh
 
 FR = F.FR
 
+# The CPU-mesh tests must run with the CPU as the DEFAULT backend: with a TPU
+# default, the curve ops dispatch to Mosaic kernels at trace time
+# (pallas_kernels.enabled() keys on the default backend) and cannot lower for
+# the CPU mesh devices. When an accelerator is the default, re-invoke this
+# module in a CPU-pinned subprocess instead.
+_ON_CPU = jax.default_backend() == "cpu"
+
 pytestmark = pytest.mark.skipif(
     len(jax.devices("cpu")) < 8, reason="needs 8 virtual CPU devices"
 )
+
+_direct = pytest.mark.skipif(
+    not _ON_CPU, reason="runs via the CPU-pinned subprocess wrapper below"
+)
+
+
+@pytest.mark.skipif(_ON_CPU, reason="direct tests run on this backend")
+def test_mesh_suite_cpu_subprocess():
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu", KZG_TPU_PALLAS="0", XLA_FLAGS=flags
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            os.path.abspath(__file__),
+            "-x",
+            "-q",
+            "-p",
+            "no:cacheprovider",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, (
+        f"cpu-mesh suite failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
+    )
 
 
 @pytest.fixture(scope="module")
@@ -43,6 +88,7 @@ def tiny_data(tiny_prover):
     )
 
 
+@_direct
 def test_prove_dp_sharded_matches_single(tiny_prover, tiny_data):
     mesh = pmesh.make_mesh(8, devices=jax.devices("cpu"))
     proofs, cells = pmesh.prove_sharded(tiny_prover, mesh, tiny_data)
@@ -56,6 +102,7 @@ def test_prove_dp_sharded_matches_single(tiny_prover, tiny_data):
     )
 
 
+@_direct
 def test_prove_work_sharded_matches_single(tiny_prover, tiny_data):
     mesh = pmesh.make_mesh(8, dp=2, devices=jax.devices("cpu"))
     data_dp = tiny_data[:, :2, :]
@@ -67,6 +114,7 @@ def test_prove_work_sharded_matches_single(tiny_prover, tiny_data):
     )
 
 
+@_direct
 def test_lincomb_sharded_matches_single():
     """Point-sharded MSM (shard_map + all_gather combine) == unsharded."""
     import random
@@ -90,6 +138,7 @@ def test_lincomb_sharded_matches_single():
     assert bool(np.asarray(C.equal(got, want)))
 
 
+@_direct
 def test_fft_sharded_matches_single():
     """Four-step NTT with explicit all_to_all == single-device domain.fft."""
     import random
