@@ -43,7 +43,11 @@ def _to_mont_device(std_limbs: np.ndarray) -> jnp.ndarray:
 def _cells_to_bytes(cells_mont: jnp.ndarray) -> list[tuple[bytes, ...]]:
     """[L, B, num_proofs, coset] Montgomery -> per-blob tuples of cell bytes."""
     std = F.from_mont(FR, cells_mont)
-    arr = np.asarray(std)
+    return _cells_bytes_from_std(np.asarray(std))
+
+
+def _cells_bytes_from_std(arr: np.ndarray) -> list[tuple[bytes, ...]]:
+    """Host standard-form limbs [L, B, K, M] -> per-blob cell byte tuples."""
     nl, b, k, m = arr.shape
     out = []
     for i in range(b):
@@ -57,10 +61,16 @@ def _cells_to_bytes(cells_mont: jnp.ndarray) -> list[tuple[bytes, ...]]:
     return out
 
 
-def _proofs_to_bytes(proofs_aff) -> list[tuple[bytes, ...]]:
-    """G1Affine [B, K] -> per-blob tuples of compressed proof bytes."""
-    pts = C.affine_from_device(proofs_aff)
-    b, k = proofs_aff.inf.shape
+def _proofs_bytes_from_std(px, py, inf, b: int, k: int) -> list[tuple[bytes, ...]]:
+    """Host standard-form affine limbs [FPL, B*K] + inf mask -> compressed
+    proof byte tuples per blob."""
+    from .ops import limbs as LIMB
+
+    xs = LIMB.limbs_to_ints(px)
+    ys = LIMB.limbs_to_ints(py)
+    pts = [
+        None if inf[j] else (xs[j], ys[j]) for j in range(b * k)
+    ]
     return [
         tuple(bls.g1_compress(pts[i * k + j]) for j in range(k)) for i in range(b)
     ]
@@ -191,11 +201,20 @@ class DASContext:
         trusted_setup: TrustedSetup | None = None,
         use_precomp: int | None = CONST.RECOMMENDED_PRECOMP_WIDTH,
         table_cache: str | None = None,
+        mesh=None,
+        config: FK20Config | None = None,
     ):
+        """`mesh`: a jax.sharding.Mesh with ("dp", "work") axes (see
+        parallel.mesh.make_mesh). When set, the batched prover entry points
+        shard transparently: blobs across `dp`, the FK20 proof-slot axis
+        (and its MSM table slices) across `work` — the user never touches
+        pjit/shard_map, the analog of the reference's `maybe_rayon` switch
+        (/root/reference/crates/maybe_rayon/src/lib.rs:1-16).
+        `config` overrides the protocol geometry (tests/dryruns only)."""
         import os as _os
 
         setup = trusted_setup or TrustedSetup.default()
-        cfg = FK20Config(
+        cfg = config or FK20Config(
             poly_len=CONST.FIELD_ELEMENTS_PER_BLOB,
             coset_size=CONST.FIELD_ELEMENTS_PER_CELL,
             expansion=CONST.EXPANSION_FACTOR,
@@ -203,6 +222,8 @@ class DASContext:
             commit_window=use_precomp,
         )
         self.config = cfg
+        self.mesh = mesh
+        self._mesh_tables = None
         if table_cache is None:
             table_cache = _os.environ.get("KZG_TPU_TABLE_CACHE") or None
         self.prover = FK20Prover(setup.g1_monomial, cfg, table_cache=table_cache)
@@ -262,13 +283,66 @@ class DASContext:
         return cells, proofs
 
     def compute_cells_and_kzg_proofs_batch(self, blobs: list[bytes]):
-        """TPU-native batched variant: one jit invocation for B blobs."""
+        """TPU-native batched variant: one jit invocation for B blobs,
+        one packed upload and one packed fetch (each host<->device transfer
+        is a ~20 ms round trip on the tunneled TPU)."""
+        from .models import fk20 as FK
+
         if not blobs:
             raise SerializationError("batch contains no blobs")
-        data = np.stack([ser.deserialize_blob(b) for b in blobs], axis=1)
-        dev = F.to_mont(FR, jnp.asarray(data))
-        proofs_aff, cells = self.prover.prove_from_data(dev)
-        return list(zip(_cells_to_bytes(cells), _proofs_to_bytes(proofs_aff)))
+        if self.config.poly_len == CONST.FIELD_ELEMENTS_PER_BLOB:
+            data = np.stack([ser.deserialize_blob(b) for b in blobs], axis=1)
+        else:  # non-mainnet geometry (tests/dryruns)
+            data = np.stack(
+                [ser.deserialize_scalars(b, self.config.poly_len) for b in blobs],
+                axis=1,
+            )
+        if self.mesh is not None:
+            out = self._prove_packed_sharded(jnp.asarray(data))
+        else:
+            out = FK._prove_packed_from_data(
+                self.prover, self.prover.tables, jnp.asarray(data)
+            )
+        host = np.asarray(out)  # one fetch
+        b = len(blobs)
+        k = self.config.num_proofs
+        cells_std, px, py, inf = FK.unpack_prove_outputs(
+            host, b, k, self.config.coset_size
+        )
+        return list(
+            zip(
+                _cells_bytes_from_std(cells_std),
+                _proofs_bytes_from_std(px, py, inf, b, k),
+            )
+        )
+
+    def _prove_packed_sharded(self, data_std: jnp.ndarray):
+        """Multi-chip prove through the mesh: blob batch over `dp`, the FK20
+        proof-slot axis (with its table slices) over `work` — the
+        prove_work_sharded layout of parallel/mesh.py behind the public API."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .models import fk20 as FK
+
+        mesh = self.mesh
+        if self._mesh_tables is None:
+            # shard the per-slot MSM tables across the work axis once; each
+            # chip holds only its slice of the multi-GB table arrays
+            def _put_leaf(leaf):
+                spec = P(*(("work",) + (None,) * (leaf.ndim - 1)))
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+            self._mesh_tables = jax.tree_util.tree_map(
+                _put_leaf, self.prover.tables
+            )
+        data = jax.device_put(
+            data_std, NamedSharding(mesh, P(None, "dp", None))
+        )
+        slot_sharding = NamedSharding(mesh, P(None, "dp", "work", None))
+        return FK._prove_packed_from_data(
+            self.prover, self._mesh_tables, data, slot_sharding
+        )
 
     def compute_cells(self, blob: bytes):
         data = _to_mont_device(ser.deserialize_blob(blob))
@@ -278,9 +352,7 @@ class DASContext:
     def recover_cells_and_kzg_proofs(
         self, cell_indices: list[int], cells: list[bytes]
     ):
-        poly = self._recover_polynomial_coeff(cell_indices, cells)
-        proofs_aff, out_cells = self.prover.prove_from_poly(poly)
-        return _cells_to_bytes(out_cells)[0], _proofs_to_bytes(proofs_aff)[0]
+        return self.recover_cells_and_kzg_proofs_batch([(cell_indices, cells)])[0]
 
     def recover_cells_and_kzg_proofs_batch(
         self, batches: list[tuple[list[int], list[bytes]]]
@@ -288,26 +360,46 @@ class DASContext:
         """Batched recovery: list of (cell_indices, cells) pairs -> list of
         (cells, proofs). The per-blob erasure patterns may differ; the
         vanishing polynomials are built per blob on the host (tiny), while
-        the 5-NTT recovery and the FK20 re-prove run as ONE batched device
-        program over all blobs. No reference analog (the reference is
-        strictly per-blob, recovery.rs:22-88); this is the TPU-native
-        throughput path."""
+        the 5-NTT recovery, its degree check, AND the FK20 re-prove run as
+        ONE fused device program over all blobs, with one packed upload and
+        one packed fetch. No reference analog (the reference is strictly
+        per-blob, recovery.rs:22-88); this is the TPU-native throughput path."""
+        from .models import fk20 as FK
+
         if not batches:
             raise SerializationError("batch contains no recovery inputs")
-        e_evals, z_stds = [], []
+        e_stds, z_stds = [], []
         for cell_indices, cells in batches:
-            e_eval, missing = self._recover_inputs(cell_indices, cells)
-            e_evals.append(e_eval)
+            e_std, missing = self._recover_inputs(cell_indices, cells)
+            e_stds.append(e_std)
             z_stds.append(self.rs.construct_vanishing_poly(missing))
-        e_eval = jnp.concatenate(e_evals, axis=1)  # [L, B, ext]
-        z_std = jnp.asarray(np.stack(z_stds, axis=1))  # [L, B, ext]
-        poly = self.rs.recover_polynomial_coefficient_batch(e_eval, z_std)
-        proofs_aff, out_cells = self.prover.prove_from_poly(poly)
-        return list(zip(_cells_to_bytes(out_cells), _proofs_to_bytes(proofs_aff)))
-
-    def _recover_polynomial_coeff(self, cell_indices, cells) -> jnp.ndarray:
-        e_eval, missing = self._recover_inputs(cell_indices, cells)
-        return self.rs.recover_polynomial_coefficient(e_eval, missing)
+        e_std = np.stack(e_stds, axis=1)  # [L, B, ext]
+        z_std = np.stack(z_stds, axis=1)  # [L, B, ext]
+        b = len(batches)
+        packed = jnp.asarray(
+            np.concatenate([e_std.ravel(), z_std.ravel()]).astype(np.int32)
+        )
+        out = FK._recover_prove_packed(
+            self.rs, self.prover, self.prover.tables, packed, b
+        )
+        host = np.asarray(out)  # one fetch
+        ok = host[:b].astype(bool)
+        if not ok.all():
+            bad = [i for i, v in enumerate(ok) if not v]
+            raise RecoveryError(
+                f"recovered polynomial has invalid degree for batch entries "
+                f"{bad} (corrupt input cells?)"
+            )
+        k = self.config.num_proofs
+        cells_std, px, py, inf = FK.unpack_prove_outputs(
+            host[b:], b, k, self.config.coset_size
+        )
+        return list(
+            zip(
+                _cells_bytes_from_std(cells_std),
+                _proofs_bytes_from_std(px, py, inf, b, k),
+            )
+        )
 
     def _recover_inputs(self, cell_indices, cells):
         # validation (recovery.rs:90-151)
@@ -335,10 +427,9 @@ class DASContext:
                 f"too many cells: got {len(cells)}, max {CONST.CELLS_PER_EXT_BLOB}"
             )
 
-        # deserialize cells -> [K, coset, L] standard-form limbs
-        cell_limbs = np.stack(
-            [ser.deserialize_cell(c).T for c in cells], axis=0
-        )  # [K, coset, L]
+        # deserialize cells -> [K, coset, L] standard-form limbs (one
+        # vectorized pass over all K cells; the per-cell loop was ~30 ms)
+        cell_limbs = ser.deserialize_cells_batch(cells)
         recovered = cosets.recover_evaluations_in_domain_order(
             CONST.FIELD_ELEMENTS_PER_EXT_BLOB, list(cell_indices), cell_limbs
         )
@@ -349,8 +440,7 @@ class DASContext:
             for i in range(CONST.CELLS_PER_EXT_BLOB)
             if i not in set(indices_normal)
         ]
-        e_eval = F.to_mont(FR, jnp.asarray(flat.T))[:, None, :]  # [L, 1, ext]
-        return e_eval, missing
+        return np.ascontiguousarray(flat.T), missing  # [L, ext] standard form
 
     # --- verifier API (verifier.rs:49-112) ---
 
@@ -388,8 +478,6 @@ class DASContext:
         if not cells:
             return
 
-        dedup_points = ser.deserialize_g1_batch(unique)
-        proof_points = ser.deserialize_g1_batch(proofs_bytes)
         cell_limbs = ser.deserialize_cells_batch(cells)  # [K, coset, L]
 
         r = fs.compute_cell_batch_challenge(
@@ -401,11 +489,13 @@ class DASContext:
             [bytes(c) for c in cells],
             proofs_bytes,
         )
+        # point decompression (incl. subgroup checks) happens on DEVICE inside
+        # verifier.verify — raw bytes go straight into the packed upload
         self.verifier.verify(
-            dedup_points,
+            unique,
             indices,
             list(cell_indices),
             cell_limbs,
-            proof_points,
+            proofs_bytes,
             r,
         )

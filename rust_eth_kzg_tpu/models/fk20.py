@@ -286,6 +286,90 @@ class FK20Prover:
         return _commit_from_poly(self, self.commit_tables, self.blob_to_poly(data))
 
 
+def pack_prove_outputs(proofs_aff: C.G1Affine, cells_mont: jnp.ndarray):
+    """(proofs G1Affine [B, K], cells [L, B, K, M] Montgomery) -> one flat
+    int32 vector for a single device->host fetch: canonical standard-form
+    cell scalars, then proof x/y standard-form limbs, then the identity mask.
+    On the tunneled TPU each fetch is a ~20 ms round trip; the separate
+    cells/proofs fetches used to put two of them on every prover-path call.
+    """
+    from ..constants import FP_LIMBS as _FPL
+
+    cells_std = F.from_mont(FR, cells_mont)
+    px = F.from_mont(F.FP, proofs_aff.x.reshape(_FPL, -1))
+    py = F.from_mont(F.FP, proofs_aff.y.reshape(_FPL, -1))
+    return jnp.concatenate(
+        [
+            cells_std.reshape(-1),
+            px.reshape(-1),
+            py.reshape(-1),
+            proofs_aff.inf.reshape(-1).astype(jnp.int32),
+        ]
+    )
+
+
+def unpack_prove_outputs(host: np.ndarray, b: int, k: int, m: int):
+    """Inverse of pack_prove_outputs on the fetched numpy vector.
+
+    Returns (cells_std [L, B, K, M], proofs_x_std [FPL, B*K],
+    proofs_y_std [FPL, B*K], inf [B*K])."""
+    from ..constants import FP_LIMBS as _FPL
+
+    rl = FR.nlimbs
+    ncells = rl * b * k * m
+    npts = b * k
+    cells = host[:ncells].reshape(rl, b, k, m)
+    off = ncells
+    px = host[off : off + _FPL * npts].reshape(_FPL, npts)
+    off += _FPL * npts
+    py = host[off : off + _FPL * npts].reshape(_FPL, npts)
+    off += _FPL * npts
+    inf = host[off : off + npts].astype(bool)
+    return cells, px, py, inf
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _prove_packed_from_data(
+    prover: FK20Prover, tables, data_std: jnp.ndarray, slot_sharding=None
+):
+    """Blob scalars (standard-form int32 [L, B, poly_len]) -> packed outputs.
+
+    One jit covering to-Montgomery conversion, the full prove pipeline, and
+    output packing — the user-level compute/recover paths feed this with ONE
+    upload and drain it with ONE fetch. `slot_sharding` (a NamedSharding,
+    static) constrains the FK20 proof-slot axis across a device mesh's work
+    axis — the multi-chip layout of parallel/mesh.py reached through the
+    public DASContext(mesh=...) API."""
+    data = F.to_mont(FR, data_std)
+    poly = prover.blob_to_poly(data)
+    if slot_sharding is not None:
+        h = prover._h_poly_commitments(poly, slot_sharding, tables=tables)
+        proofs = prover._proofs_from_h(h)
+        cells = prover._coset_evaluations(poly)
+        proofs_aff = C.batch_normalize(proofs)
+    else:
+        proofs_aff, cells = _prove_from_poly(prover, tables, poly)
+    return pack_prove_outputs(proofs_aff, cells)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def _recover_prove_packed(rs, prover: FK20Prover, tables, packed: jnp.ndarray, b: int):
+    """Fused recover + re-prove: packed = [e_eval std | z_std] int32 flat,
+    both [L, B, ext]. Returns [ok flags [B] | packed prove outputs]."""
+    rl = FR.nlimbs
+    ext = rs.codeword_length
+    n = rl * b * ext
+    e_std = packed[:n].reshape(rl, b, ext)
+    z_std = packed[n : 2 * n].reshape(rl, b, ext)
+    e_eval = F.to_mont(FR, e_std)
+    d_coeffs, ok = rs._recover_device(e_eval, z_std)
+    poly = d_coeffs[..., : rs.poly_len]
+    proofs_aff, cells = _prove_from_poly(prover, tables, poly)
+    return jnp.concatenate(
+        [ok.astype(jnp.int32), pack_prove_outputs(proofs_aff, cells)]
+    )
+
+
 @partial(jax.jit, static_argnums=0)
 def _prove_from_poly(prover: FK20Prover, tables, poly: jnp.ndarray):
     from ..utils.tracing import span

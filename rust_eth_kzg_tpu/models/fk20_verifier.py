@@ -1,21 +1,30 @@
 """FK20 batch verifier for cell proofs.
 
 Rebuild of /root/reference/crates/cryptography/kzg_multi_open/src/fk20/
-verifier.rs:39-384: the three proof/commitment MSMs and the <=128 batched
-64-point coset IFFTs run on device; Fiat-Shamir, the per-batch scalar
-bookkeeping, and the closing 2-pairing check run on the host.
+verifier.rs:39-384, restructured for the tunneled-TPU latency model: the
+whole device path — batch G1 decompression with subgroup checks
+(ops/decompress.py), the three random-linear-combination MSMs (Pippenger),
+the <=128 batched 64-point coset IFFTs, and the interpolation commitment —
+is ONE jitted program fed by ONE packed upload and drained by ONE packed
+fetch. Fiat-Shamir and the closing 2-pairing check stay on the host.
+
+Round-4 profile of the old path: ~22 ms single-threaded host decompression +
+three separate uploads + a separate fetch, each a ~20 ms tunnel round trip.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..constants import R_SCALAR
 from ..errors import InvalidProofError
 from ..ops import curve as C
+from ..ops import decompress as D
 from ..ops import field as F
-from ..ops import limbs as L
 from ..ops import msm as M
 from ..ops import ntt
 from ..utils import bls_host as bls
@@ -24,6 +33,7 @@ from ..utils import fiat_shamir as fs
 from . import cosets
 
 FR = F.FR
+FP = F.FP
 
 
 class FK20Verifier:
@@ -76,128 +86,218 @@ class FK20Verifier:
 
     def verify(
         self,
-        dedup_commitments: list,  # host affine points
+        unique_commitment_bytes: list[bytes],
         commitment_indices: list[int],
         coset_indices: list[int],
         coset_evals_std: np.ndarray,  # [K, coset_size, L] standard-form limbs
-        proofs: list,  # host affine points
+        proof_bytes: list[bytes],
         r: int,  # Fiat-Shamir challenge (computed by the caller over raw bytes)
     ) -> None:
         batch = len(coset_indices)
-        assert batch == len(commitment_indices) == len(proofs)
+        assert batch == len(commitment_indices) == len(proof_bytes)
+        n_comm = len(unique_commitment_bytes)
         r_powers = fs.compute_powers(r, batch)
 
-        # Pad the batch to a power of two with identity points / zero scalars:
-        # keeps the number of distinct compiled shapes logarithmic in the
-        # supported batch sizes (contributions of padded lanes are zero).
-        padded = 1 << max(batch - 1, 0).bit_length()
-        pad = padded - batch
-        proofs = list(proofs) + [None] * pad
-        coset_indices = list(coset_indices) + [0] * pad
-        r_powers = r_powers + [0] * pad
-        coset_evals_std = np.concatenate(
-            [
-                np.asarray(coset_evals_std),
-                np.zeros((pad,) + np.asarray(coset_evals_std).shape[1:], dtype=np.asarray(coset_evals_std).dtype),
-            ],
-            axis=0,
+        # host byte-level validation + x extraction (reference taxonomy for
+        # format errors; curve/subgroup flags come back with the device fetch)
+        x_std, sort, inf = D.parse_compressed_g1_batch(
+            list(unique_commitment_bytes) + list(proof_bytes)
         )
-        commitment_indices = list(commitment_indices) + [0] * pad
-        batch = padded
 
-        # 1-3. the three random-linear-combination MSMs (proofs by r_i,
-        # proofs by r_i * h_k^n, dedup commitments by accumulated weights —
-        # verifier.rs:186-225) run as ONE batched GLV double-and-add over a
-        # [3, padded] point array: a single ~130-step scan instead of three
-        # (each scan step is a kernel launch; the verify path is launch-bound)
+        # Pad the batch with identity points / zero scalars up to the standard
+        # 128-cell shape (or the next power of two beyond it): every verify
+        # call <= 128 cells then shares ONE compiled device program — each
+        # jit shape costs a ~2 min remote compile on this backend, and the
+        # padded lanes add only microseconds of device work.
+        padded = max(1 << max(batch - 1, 0).bit_length(), self.num_cosets)
+        pad_pf = padded - batch
+        pad_cm = padded - n_comm
+        nl = x_std.shape[0]
+        xs = np.zeros((nl, 2 * padded), dtype=np.int32)
+        xs[:, :n_comm] = x_std[:, :n_comm]
+        xs[:, padded : padded + batch] = x_std[:, n_comm:]
+        flags_np = np.zeros((2, 2 * padded), dtype=np.int32)
+        flags_np[0, :n_comm] = sort[:n_comm]
+        flags_np[0, padded : padded + batch] = sort[n_comm:]
+        flags_np[1] = 1  # padding lanes are identity
+        flags_np[1, :n_comm] = inf[:n_comm]
+        flags_np[1, padded : padded + batch] = inf[n_comm:]
+
+        # the three RLC scalar sets (verifier.rs:186-225): r_i over proofs,
+        # r_i * h_k^n over proofs, accumulated dedup weights over commitments
         weighted = [
             rp * self.coset_gens_pow_n[ci] % R_SCALAR
             for rp, ci in zip(r_powers, coset_indices)
         ]
-        weights = [0] * len(dedup_commitments)
+        weights = [0] * n_comm
         for ci, rp in zip(commitment_indices, r_powers):
             weights[ci] = (weights[ci] + rp) % R_SCALAR
-        comm_padded = list(dedup_commitments) + [None] * (
-            batch - len(dedup_commitments)
-        )
-        weights_padded = weights + [0] * (batch - len(weights))
-        pts3 = C.points_to_device(list(proofs) * 2 + comm_padded)
-        pts3 = C.G1(*(c.reshape(-1, 3, batch) for c in pts3))
-        b1, n1, b2, n2 = C.glv_bits_host(
-            [int(s) for s in r_powers + weighted + weights_padded]
-        )
-        # one packed upload for the four GLV bit arrays: each host->device
-        # transfer is a ~20 ms round trip on the tunneled TPU
-        nb = b1.shape[0]
+        z = [0]
+        scal3 = np.asarray(
+            FR.to_mont_host(
+                r_powers + z * pad_pf + weighted + z * pad_pf + weights + z * pad_cm
+            ),
+            dtype=np.int32,
+        )  # [L, 3 * padded]
+
+        evals = np.zeros((batch, self.coset_size, nl_fr := FR.nlimbs), np.int32)
+        evals[:] = np.asarray(coset_evals_std)
+        evals_flat = np.moveaxis(evals, -1, 0).reshape(nl_fr, -1)
+        r_mont = np.asarray(
+            FR.to_mont_host(r_powers + z * pad_pf), dtype=np.int32
+        )  # padded to match the device program's [L, padded] slice
+        cidx = np.zeros(padded, dtype=np.int32)
+        cidx[:batch] = np.asarray(coset_indices, dtype=np.int32)
+
+        # ONE packed upload (each host->device transfer is a ~20 ms round
+        # trip on the tunneled TPU)
         packed = jnp.asarray(
             np.concatenate(
-                [b1, n1[None], b2, n2[None]], axis=0, dtype=np.bool_
-            )
-        )
-        per_point = C.scalar_mul_glv(
-            pts3,
-            packed[:nb].reshape(-1, 3, batch),
-            packed[nb].reshape(3, batch),
-            packed[nb + 1 : 2 * nb + 1].reshape(-1, 3, batch),
-            packed[2 * nb + 1].reshape(3, batch),
-        )
-        sums3 = C.reduce_sum(per_point, axis=2)  # G1 [3]
-
-        # 4. random linear combination of the interpolation polynomials:
-        #    per coset, un-bit-reverse, coset-IFFT, scale by r_i; all K at once
-        # [K, coset, L] standard-form limbs -> [L, K, coset] Montgomery,
-        # shipped together with the r-power scalars as one packed upload
-        cs = self.coset_size
-        evals_np = np.moveaxis(np.asarray(coset_evals_std), -1, 0)
-        up = jnp.asarray(
-            np.concatenate(
                 [
-                    evals_np.reshape(FR.nlimbs, -1),
-                    np.asarray(FR.to_mont_host(r_powers), dtype=evals_np.dtype),
-                ],
-                axis=1,
+                    xs.ravel(),
+                    flags_np.ravel(),
+                    scal3.ravel(),
+                    evals_flat.ravel(),
+                    r_mont.ravel(),
+                    cidx,
+                ]
             )
         )
-        evals = up[:, : batch * cs].reshape(FR.nlimbs, batch, cs)
-        r_mont = up[:, batch * cs :]
-        evals = F.to_mont(FR, evals)
-        evals = ntt.bit_reverse_permutation(evals, axis=-1)
-        interp = self.coset_domain.ifft(evals)  # [L, K, coset]
-        scale_rows = jnp.take(
-            self._coset_scale, jnp.asarray(coset_indices), axis=1
-        )  # [L, K, coset]
-        interp = F.mont_mul(FR, interp, scale_rows)
-        interp = F.mont_mul(FR, interp, r_mont[:, :, None])
-        # sum over the K cosets: pairwise tree (log2 K adds, not K)
-        k = interp.shape[1]
-        while k > 1:
-            h = k // 2
-            lo = interp[:, :h]
-            hi = interp[:, h : 2 * h]
-            red = F.add(FR, lo, hi)
-            if k % 2:
-                red = jnp.concatenate([red, interp[:, -1:]], axis=1)
-                k = h + 1
+        out = _verify_device(
+            self, self._commit_tables, self._coset_scale, packed, batch, padded
+        )
+        host = np.asarray(out)  # ONE packed fetch
+
+        npt = 2 * padded
+        fl = FP.nlimbs
+        # unpack: [fl*4 x] [fl*4 y] [4 inf] [npt on_curve] [npt in_subgroup]
+        ax = host[: fl * 4].reshape(fl, 4)
+        ay = host[fl * 4 : 2 * fl * 4].reshape(fl, 4)
+        base = 2 * fl * 4
+        pinf = host[base : base + 4].astype(bool)
+        on_curve = host[base + 4 : base + 4 + npt].astype(bool)
+        in_sub = host[base + 4 + npt : base + 4 + 2 * npt].astype(bool)
+
+        # flag checks in reference order: all commitments, then all proofs
+        labels = [f"commitment {i}" for i in range(n_comm)] + [
+            f"proof {i}" for i in range(batch)
+        ]
+        order = list(range(n_comm)) + list(range(padded, padded + batch))
+        D.raise_for_flags(on_curve[order], in_sub[order], labels)
+
+        pts = []
+        for j in range(4):
+            if pinf[j]:
+                pts.append(None)
             else:
-                k = h
-            interp = red
-        poly = interp[:, 0]
+                x = FP.from_mont_host(ax[:, j : j + 1])[0]
+                y = FP.from_mont_host(ay[:, j : j + 1])[0]
+                pts.append((x, y))
+        sp, wsp, sc, cip = pts
 
-        # 5. commit to the interpolation polynomial with the verifier SRS
-        #    (precomputed fixed-base tables; MXU one-hot lookup path)
-        comm_interp = M.fixed_base_msm(self._commit_tables, poly[:, None, :])
-
-        # 6. closing pairing check (verifier.rs:227-260), one device fetch
-        all4 = C.G1(
-            *(
-                jnp.concatenate([s, ci], axis=-1)
-                for s, ci in zip(sums3, comm_interp)
-            )
-        )
-        sp, wsp, sc, cip = C.points_from_device(all4)
+        # closing pairing check (verifier.rs:227-260)
         pairing_input = bls.g1_add(bls.g1_add(sc, bls.g1_neg(cip)), wsp)
         ok = native.multi_pairings(
             [(sp, self.tau_pow_n_g2), (pairing_input, bls.g2_neg(bls.G2_GEN))]
         )
         if not ok:
             raise InvalidProofError("cell proof batch failed the pairing check")
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _verify_device(
+    verifier: FK20Verifier,
+    commit_tables,
+    coset_scale,
+    packed: jnp.ndarray,
+    batch: int,
+    padded: int,
+):
+    """The verify device pipeline as one XLA program.
+
+    packed layout (int32): x limbs of [commitments(padded) | proofs(padded)],
+    sort/inf flags, the three Montgomery scalar sets, coset evals
+    (standard-form), r-powers (Montgomery), coset indices. Returns one packed
+    int32 vector: 4 affine points + per-point validity flags.
+    """
+    cs = verifier.coset_size
+    fl = FP.nlimbs
+    rl = FR.nlimbs
+    npt = 2 * padded
+
+    off = 0
+
+    def take(n):
+        nonlocal off
+        out = packed[off : off + n]
+        off += n
+        return out
+
+    xs = take(fl * npt).reshape(fl, npt)
+    flags = take(2 * npt).reshape(2, npt)
+    scal3 = take(rl * 3 * padded).reshape(rl, 3, padded)
+    evals = take(rl * batch * cs).reshape(rl, batch, cs)
+    r_mont = take(rl * padded).reshape(rl, padded)
+    cidx = take(padded)
+
+    # 1. decompress all points on device (Fp sqrt + sign + subgroup flags)
+    pts, on_curve, in_sub = D.decompress_g1(
+        xs, flags[0] != 0, flags[1] != 0
+    )
+    comms = C.G1(*(c[..., :padded] for c in pts))
+    proofs = C.G1(*(c[..., padded:] for c in pts))
+
+    # 2-4. the three RLC MSMs as ONE batched Pippenger over [3, padded]
+    pts3 = C.G1(
+        *(
+            jnp.stack([cp, cp, cm], axis=-2)
+            for cp, cm in zip(proofs, comms)
+        )
+    )  # [L, 3, padded]
+    sums3 = M.lincomb(pts3, scal3)  # G1 [3]
+
+    # 5. random linear combination of the interpolation polynomials:
+    #    per coset, un-bit-reverse, coset-IFFT, scale by r_i; all K at once
+    evals = F.to_mont(FR, evals)
+    if padded != batch:
+        evals = jnp.pad(evals, [(0, 0), (0, padded - batch), (0, 0)])
+    evals = ntt.bit_reverse_permutation(evals, axis=-1)
+    interp = verifier.coset_domain.ifft(evals)  # [L, K, coset]
+    scale_rows = jnp.take(coset_scale, cidx, axis=1)  # [L, K, coset]
+    interp = F.mont_mul(FR, interp, scale_rows)
+    interp = F.mont_mul(FR, interp, r_mont[:, :, None])
+    # sum over the K cosets: pairwise tree (log2 K adds, not K)
+    k = interp.shape[1]
+    while k > 1:
+        h = k // 2
+        lo = interp[:, :h]
+        hi = interp[:, h : 2 * h]
+        red = F.add(FR, lo, hi)
+        if k % 2:
+            red = jnp.concatenate([red, interp[:, -1:]], axis=1)
+            k = h + 1
+        else:
+            k = h
+        interp = red
+    poly = interp[:, 0]
+
+    # 6. commit to the interpolation polynomial with the verifier SRS
+    comm_interp = M.fixed_base_msm(commit_tables, poly[:, None, :])
+
+    # 7. pack the four result points + the validity flags for one fetch
+    all4 = C.G1(
+        *(
+            jnp.concatenate([s, ci], axis=-1)
+            for s, ci in zip(sums3, comm_interp)
+        )
+    )
+    aff = C.batch_normalize(all4)
+    return jnp.concatenate(
+        [
+            aff.x.reshape(-1),
+            aff.y.reshape(-1),
+            aff.inf.astype(jnp.int32),
+            on_curve.astype(jnp.int32),
+            in_sub.astype(jnp.int32),
+        ]
+    )

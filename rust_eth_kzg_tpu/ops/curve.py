@@ -320,6 +320,10 @@ def glv_decompose(k: int):
 
     x1, y1, x2, y2 = _GLV_BASIS
     det = x1 * y2 - x2 * y1  # = +-r
+    if det < 0:
+        # _round_div requires a positive divisor (advisor r4-low); negating
+        # the whole basis keeps the lattice and flips det positive
+        x1, y1, x2, y2, det = -x1, -y1, -x2, -y2, -det
     k %= R_SCALAR
     c1 = _round_div(k * y2, det)
     c2 = _round_div(-k * y1, det)
@@ -420,6 +424,30 @@ def scalar_mul_glv(
         return add(acc, pick(table, d)), None
 
     acc, _ = jax.lax.scan(step, ident, digits)
+    return acc
+
+
+@partial(jax.jit, static_argnums=1)
+def scalar_mul_static(p: G1, k: int) -> G1:
+    """k*p for a compile-time integer k: double-and-add as a `lax.scan` over
+    the static bit pattern, so the compiled graph holds ONE double/add body
+    regardless of bits(k). Used for the endomorphism subgroup check
+    (multiply by z^2 - 1) where k is a fixed curve constant.
+    """
+    if k == 0:
+        return identity(p.batch_shape)
+    nbits = k.bit_length()
+    bits = jnp.asarray(
+        [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=bool
+    )
+    acc0 = identity(p.batch_shape)
+
+    def step(acc, bit):
+        acc = double(acc)
+        with_p = add(acc, p)
+        return select(jnp.broadcast_to(bit, acc.batch_shape), with_p, acc), None
+
+    acc, _ = jax.lax.scan(step, acc0, bits)
     return acc
 
 

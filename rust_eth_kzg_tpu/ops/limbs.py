@@ -64,8 +64,12 @@ def bytes_be_to_limbs(data: bytes | np.ndarray, nlimbs: int) -> np.ndarray:
     total_bits = nlimbs * LIMB_BITS
     pad = total_bits - 256
     if pad < 0:
-        raise ValueError("nlimbs too small for 256-bit scalars")
-    bits_le = np.pad(bits_le, ((0, 0), (0, pad)))
+        # narrow fields (the tiny test curve): values must fit the limbs
+        if bits_le[:, total_bits:].any():
+            raise ValueError("scalar does not fit in the given limb count")
+        bits_le = bits_le[:, :total_bits]
+    else:
+        bits_le = np.pad(bits_le, ((0, 0), (0, pad)))
     groups = bits_le.reshape(-1, nlimbs, LIMB_BITS).astype(np.int32)
     limbs = groups @ _BIT_WEIGHTS  # [N, nlimbs]
     return np.ascontiguousarray(limbs.T)
@@ -76,6 +80,9 @@ def limbs_to_bytes_be(limbs: np.ndarray) -> bytes:
     arr = np.asarray(limbs).T.astype(np.int64)  # [N, nlimbs]
     n, nlimbs = arr.shape
     bits_le = ((arr[:, :, None] >> np.arange(LIMB_BITS)) & 1).astype(np.uint8)
-    bits_le = bits_le.reshape(n, nlimbs * LIMB_BITS)[:, :256]
+    bits_le = bits_le.reshape(n, nlimbs * LIMB_BITS)
+    if bits_le.shape[1] < 256:  # narrow fields (tiny test curve)
+        bits_le = np.pad(bits_le, ((0, 0), (0, 256 - bits_le.shape[1])))
+    bits_le = bits_le[:, :256]
     bits_be = bits_le[:, ::-1]
     return np.packbits(bits_be, axis=1).tobytes()

@@ -409,49 +409,74 @@ def fixed_base_msm(tables: FixedBaseMSM, scalars_mont: jnp.ndarray) -> C.G1:
     return acc
 
 
-def _hs_scan_add(p: C.G1, flags: jnp.ndarray) -> C.G1:
-    """Inclusive (segmented) prefix scan of group addition along the last axis.
+def _gather_lanes(arrs: list[jnp.ndarray], idx: jnp.ndarray, src_len: int):
+    """Gather along the last axis via an exact one-hot MXU matmul.
 
-    Hillis-Steele: log2(n) rounds of `s[i] = combine(s[i - 2^k], s[i])`,
-    where combine((va, fa), (vb, fb)) = (fb ? vb : va + vb, fa | fb) is the
-    standard segmented-sum operator. `flags[i]` marks segment starts; pass
-    zeros for a plain prefix scan. The rounds run as a `lax.scan` over the
-    shift exponent with a dynamic `jnp.roll`, so the compiled graph holds ONE
-    complete-add body regardless of n — latency is log2(n) sequential adds,
-    each fully parallel across every lane of the batch.
+    arrs: list of [L_i, *batch, src_len] int32 limb arrays (15-bit limbs);
+    idx: [*batch, m] int32 with values in [0, src_len). Returns the list of
+    [L_i, *batch, m] arrays with out[..., i] = in[..., idx[..., i]].
+
+    XLA's native gather on TPU moves these limb arrays at ~1 GB/s; the
+    batched [2L, n] x [n, m] one-hot matmul streams them through the MXU
+    instead (the same trick as `_gather_rows`). Each 15-bit limb splits into
+    exact-in-bf16 8-bit halves, and each one-hot column has exactly one 1,
+    so the f32-accumulated product is exact.
+    """
+    cat = jnp.concatenate(arrs, axis=0)
+    lt = cat.shape[0]
+    batch = cat.shape[1:-1]
+    m = idx.shape[-1]
+    sp = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    vals = cat.reshape(lt, sp, src_len)
+    v2 = jnp.concatenate([vals >> 8, vals & 0xFF], axis=0).astype(jnp.bfloat16)
+    v2 = jnp.moveaxis(v2, 1, 0)  # [sp, 2Lt, n]
+    oh = (
+        idx.reshape(sp, m)[:, None, :]
+        == jnp.arange(src_len, dtype=jnp.int32)[None, :, None]
+    )  # [sp, n(j), m(i)]
+    out = jax.lax.dot_general(
+        v2,
+        oh.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # [sp, 2Lt, m]
+    out = jnp.moveaxis(out, 0, 1)
+    res = (out[:lt] << 8) | out[lt:]
+    res = res.reshape((lt,) + batch + (m,))
+    splits = []
+    off = 0
+    for a in arrs:
+        splits.append(res[off : off + a.shape[0]])
+        off += a.shape[0]
+    return splits
+
+
+def _incl_scan_add(p: C.G1) -> C.G1:
+    """Work-efficient inclusive prefix scan of group addition (last axis).
+
+    Recursive pairing (Ladner-Fischer shape): combine adjacent pairs, scan
+    the half-length array, then fix up even positions — 2n total complete
+    adds at halving lane widths, vs n*log2(n) for Hillis-Steele. This is the
+    cost that made the round-4 Pippenger 253 ms; the scan is its hot loop.
+    n must be a power of two (callers pad with identity).
     """
     n = p.x.shape[-1]
-    nlev = max(n - 1, 0).bit_length()
-    if nlev == 0:
+    if n == 1:
         return p
-    shifts = jnp.asarray([1 << k for k in range(nlev)], dtype=jnp.int32)
-    idx = jnp.arange(n, dtype=jnp.int32)
-
-    def level(carry, sh):
-        v, f = carry
-        vs = C.G1(*(jnp.roll(c, sh, axis=-1) for c in v))
-        fs = jnp.roll(f, sh, axis=-1)
-        valid = idx >= sh  # lanes with a left neighbour 2^k away
-        keep = jnp.logical_or(f, jnp.logical_not(valid))
-        # C.add (not add_values): dispatches to the fused Pallas kernel on
-        # TPU — the complete-add body is 24-30x faster there than under XLA
-        # fusion (ROOFLINE.json), and this scan is Pippenger's hot loop
-        combined = C.add(vs, v)
-        newv = C.select(keep, v, combined)
-        newf = jnp.logical_or(f, jnp.logical_and(valid, fs))
-        return (newv, newf), None
-
-    (p, _), _ = jax.lax.scan(level, (p, flags), shifts)
-    return p
-
-
-def _lane_sum(p: C.G1) -> C.G1:
-    """Sum along the last axis via the one-add-body prefix scan (take the last
-    element). Unlike `curve.reduce_sum` this inlines a single addition body —
-    used where compile-time matters more than the ~2x work of Hillis-Steele."""
-    zeros = jnp.zeros(p.x.shape[1:], dtype=bool)
-    s = _hs_scan_add(p, zeros)
-    return C.G1(*(c[..., -1] for c in s))
+    even = C.G1(*(c[..., 0::2] for c in p))
+    odd = C.G1(*(c[..., 1::2] for c in p))
+    s = _incl_scan_add(C.add(even, odd))  # [.., n/2] pair-inclusive sums
+    idp = C.identity(p.batch_shape[:-1] + (1,))
+    sprev = C.G1(
+        *(jnp.concatenate([i, c[..., :-1]], axis=-1) for i, c in zip(idp, s))
+    )
+    out_even = C.add(sprev, even)
+    return C.G1(
+        *(
+            jnp.stack([ce, co], axis=-1).reshape(ce.shape[:-1] + (n,))
+            for ce, co in zip(out_even, s)
+        )
+    )
 
 
 @partial(jax.jit, static_argnums=2)
@@ -465,24 +490,31 @@ def pippenger_msm(
     serial bucket loop becomes data-parallel machinery:
 
     1. signed w-bit digits per window (shared `signed_digits`);
-    2. per window, argsort points by bucket index |d|-1 (one XLA sort);
-    3. bucket sums via a *segmented* prefix scan of complete adds over the
-       sorted point axis — log2(N) sequential adds, every lane parallel;
-    4. per-bucket totals gathered at each bucket's last position (computed
-       from a one-hot histogram + cumsum), absent buckets -> identity;
-    5. sum_b (b+1) * bucket_b via the suffix-scan identity
-       sum_b S_b with S_j = sum_{b>=j} bucket_b — two more prefix scans;
+    2. per window, argsort the lanes by bucket index |d|-1 (one XLA sort);
+       zero digits sort last as bucket h and become identity lanes;
+    3. permute the signed points into sorted order with the one-hot MXU
+       matmul (`_gather_lanes` — XLA's gather is ~1 GB/s on these arrays);
+    4. ONE plain (unsegmented) suffix scan T[i] = sum_{j>=i} P_sorted[j] via
+       the work-efficient `_incl_scan_add` on the reversed array — 2N
+       complete adds per window, not the N*log2(N) of round 4's segmented
+       Hillis-Steele;
+    5. the window sum falls out of the identity
+           sum_b (b+1) * bucket_b = sum_{j=0..h-1} S_j,
+       where S_j = sum over lanes with bucket >= j = T[start_j] and
+       start_j = #lanes with bucket < j (a cumsum of the one-hot histogram);
+       gather T at the h start positions and tree-reduce — no per-bucket
+       totals, no segment flags;
     6. Horner over windows (w doublings + 1 add per window).
 
     points: G1 [*batch, N]; scalars_mont: [FR_LIMBS, *batch, N]. Returns G1
-    with batch shape [*batch]. Work is ~2 N log2(N) / (N per window) lane-adds
-    vs the 510 N of the double-and-add scan; sequential depth drops ~2x and
-    per-step work collapses onto wide lanes.
+    with batch shape [*batch]. Total group work ~(2N + h) complete adds per
+    window — within 2x of serial Pippenger's N + 2h, on fully parallel lanes.
     """
     digits = signed_digits(scalars_mont, window)  # [W, *batch, N] int32
     n_win = digits.shape[0]
     h = 1 << (window - 1)
     n = points.x.shape[-1]
+    pow2 = 1 << max(n - 1, 0).bit_length()
 
     # per-window signed points: negate y where d < 0, identity where d == 0
     d = digits
@@ -498,49 +530,41 @@ def pippenger_msm(
     by = F.select(zero_mask, one, by)
     bz = F.select(zero_mask, zero, bz)
 
-    # sort each window's points by bucket index
-    b_idx = jnp.maximum(jnp.abs(d) - 1, 0)  # [W, *batch, N] in [0, h)
-    order = jnp.argsort(b_idx, axis=-1)
-    b_sorted = jnp.take_along_axis(b_idx, order, axis=-1)
-    gidx = jnp.broadcast_to(order[None], bx.shape)
-    p = C.G1(
-        x=jnp.take_along_axis(bx, gidx, axis=-1),
-        y=jnp.take_along_axis(by, gidx, axis=-1),
-        z=jnp.take_along_axis(bz, gidx, axis=-1),
-    )
+    # bucket index per lane; zero-digit lanes get h so they sort to the end
+    # (they are identity points, harmless inside the suffix scan)
+    b_idx = jnp.where(zero_mask, h, jnp.abs(d) - 1)  # [W, *batch, N]
+    if pow2 != n:
+        pad = pow2 - n
+        padw = [(0, 0)] * (b_idx.ndim - 1) + [(0, pad)]
+        b_idx = jnp.pad(b_idx, padw, constant_values=h)
+        padl = [(0, 0)] + padw
+        bx = jnp.pad(bx, padl)
+        bz = jnp.pad(bz, padl)
+        by = jnp.pad(by, padl)
+        by = by.at[..., n:].set(one[..., :1])  # identity (0 : 1 : 0)
+    order = jnp.argsort(b_idx, axis=-1).astype(jnp.int32)
 
-    # segmented scan over the sorted axis; segment starts where the bucket
-    # index changes (position 0 starts a segment by construction of `valid`)
-    flags = jnp.concatenate(
-        [
-            jnp.zeros_like(b_sorted[..., :1], dtype=bool),
-            b_sorted[..., 1:] != b_sorted[..., :-1],
-        ],
-        axis=-1,
+    px, py, pz = _gather_lanes([bx, by, bz], order, pow2)
+    rev = C.G1(
+        *(c[..., ::-1] for c in C.G1(px, py, pz))
     )
-    scanned = _hs_scan_add(p, flags)
+    pre = _incl_scan_add(rev)  # pre[i] = sum of last i+1 sorted lanes
+    t_scan = C.G1(*(c[..., ::-1] for c in pre))  # T[i] = sum_{j>=i}
+    idp = C.identity(t_scan.batch_shape[:-1] + (1,))
+    t_scan = C.G1(
+        *(jnp.concatenate([c, i], axis=-1) for c, i in zip(t_scan, idp))
+    )  # T[pow2] = identity (start_j == pow2 <=> S_j empty)
 
-    # bucket totals: value of the scan at each bucket's last position
+    # start_j = #lanes with bucket < j, from the unsorted histogram
     counts = jnp.sum(
-        b_sorted[..., None] == jnp.arange(h, dtype=jnp.int32), axis=-2
+        b_idx[..., None] == jnp.arange(h, dtype=jnp.int32), axis=-2
     )  # [W, *batch, h]
-    last_pos = jnp.cumsum(counts, axis=-1) - 1
-    present = counts > 0
-    lp = jnp.maximum(last_pos, 0)
-    glp = jnp.broadcast_to(lp[None], scanned.x.shape[:-1] + (h,))
-    bucket = C.G1(
-        x=jnp.take_along_axis(scanned.x, glp, axis=-1),
-        y=jnp.take_along_axis(scanned.y, glp, axis=-1),
-        z=jnp.take_along_axis(scanned.z, glp, axis=-1),
-    )
-    ident = C.identity(bucket.batch_shape)
-    bucket = C.select(present, bucket, ident)
+    start = jnp.cumsum(counts, axis=-1) - counts  # exclusive prefix
 
-    # weighted reduction sum_b (b+1) * bucket_b = sum_j suffix_j
-    rev = C.G1(*(c[..., ::-1] for c in bucket))
-    zerof = jnp.zeros(rev.x.shape[1:], dtype=bool)
-    suffix = _hs_scan_add(rev, zerof)  # suffix sums, reversed order
-    wsums = _lane_sum(suffix)  # [W, *batch]
+    sx, sy, sz = _gather_lanes(
+        [t_scan.x, t_scan.y, t_scan.z], start.astype(jnp.int32), pow2 + 1
+    )
+    wsums = C.reduce_sum(C.G1(sx, sy, sz), axis=sx.ndim - 1)  # [W, *batch]
 
     # Horner over windows, most significant first
     acc = C.G1(*(c[:, n_win - 1] for c in wsums))

@@ -132,7 +132,9 @@ def fft_sharded(
 
     This is the reference's rayon stage-chunking (fft.rs:72,119) re-shaped
     into the one-collective TPU form. x: [L, B, n] Montgomery; returns the
-    same natural-order evaluations as dom.fft(x), replicated.
+    same natural-order evaluations as dom.fft(x), with the output's n1 blocks
+    sharded over the mesh axis (gather with jax.device_get / an all_gather if
+    a caller needs full replication).
     """
 
     from jax import shard_map

@@ -35,7 +35,12 @@ def srs_fingerprint(commit_key_points: list) -> str:
 
 def _table_arrays(prefix: str, tables) -> dict:
     # the bf16 rows hold exact 8-bit limb halves; persist them as uint8
-    rows = np.asarray(tables.table_rows).astype(np.uint8)
+    rows_f = np.asarray(tables.table_rows)
+    assert rows_f.size == 0 or float(rows_f.max()) <= 255, (
+        "table rows exceed uint8 range — a _rows_layout change requires a "
+        "LAYOUT_VERSION bump (advisor r4-low)"
+    )
+    rows = rows_f.astype(np.uint8)
     return {
         f"{prefix}_rows": rows,
         f"{prefix}_inf": np.asarray(tables.base_inf),

@@ -26,11 +26,19 @@ import numpy as np
 
 
 def sync(tree) -> None:
-    """Block until every program producing `tree`'s first array leaf ran."""
-    for leaf in jax.tree_util.tree_leaves(tree):
-        if hasattr(leaf, "ndim"):
-            jax.device_get(leaf[(0,) * leaf.ndim])
-            return
+    """Block until every program producing any array leaf of `tree` ran.
+
+    One scalar is gathered from EVERY leaf (advisor r4-low: leaves produced by
+    independent device programs are not ordered behind the first leaf's
+    program); the scalar index ops enqueue asynchronously and a single
+    device_get call at the end blocks on all of them."""
+    scalars = [
+        leaf[(0,) * leaf.ndim]
+        for leaf in jax.tree_util.tree_leaves(tree)
+        if hasattr(leaf, "ndim")
+    ]
+    if scalars:
+        jax.device_get(scalars)
 
 
 def sync_overhead(tree, probes: int = 3) -> float:
