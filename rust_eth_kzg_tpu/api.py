@@ -326,6 +326,14 @@ class DASContext:
         from .models import fk20 as FK
 
         mesh = self.mesh
+        dp = mesh.shape.get("dp", 1)
+        if data_std.shape[1] % dp != 0:
+            from .errors import ProverError
+
+            raise ProverError(
+                f"blob batch of {data_std.shape[1]} does not divide the mesh's "
+                f"dp axis ({dp}); pad the batch or reshape the mesh"
+            )
         if self._mesh_tables is None:
             # shard the per-slot MSM tables across the work axis once; each
             # chip holds only its slice of the multi-GB table arrays

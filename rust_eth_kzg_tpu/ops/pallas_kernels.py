@@ -40,8 +40,8 @@ from . import field as F
 # fastest for the fused group-op kernels (44 vs 76 ns/lane at 2048 — smaller
 # working sets keep the CIOS temporaries closer to the vector registers);
 # 4096 fails to compile outright.
-_TILE = 512
-_MIN_TILE = 256
+_TILE = int(os.environ.get("KZG_TPU_TILE", "512"))
+_MIN_TILE = min(256, _TILE)
 
 
 def _mode() -> str:

@@ -85,6 +85,44 @@ def main():
     except SerializationError as e:
         mark(f"malformed proof correctly rejected ({e})")
 
+    # consensus-spec fixture ground truth (user-level drive, not a test rerun)
+    import yaml
+    from pathlib import Path
+
+    vec = Path("/root/reference/test_vectors")
+    case = sorted(
+        (vec / "compute_cells_and_kzg_proofs").glob("*/*/data.yaml")
+    )[0]
+    data = yaml.safe_load(case.read_text())
+    fx_blob = bytes.fromhex(data["input"]["blob"][2:])
+    want_cells, want_proofs = data["output"]
+    got_cells, got_proofs = ctx.compute_cells_and_kzg_proofs(fx_blob)
+    assert ["0x" + c.hex() for c in got_cells] == want_cells, case
+    assert ["0x" + p.hex() for p in got_proofs] == want_proofs, case
+    mark(f"spec fixture matches ({case.parent.name})")
+
+    vcase = sorted(
+        (vec / "verify_cell_kzg_proof_batch").glob("*/*/data.yaml")
+    )
+    ran = 0
+    for c in vcase:
+        d = yaml.safe_load(c.read_text())
+        inp, out = d["input"], d["output"]
+        try:
+            ctx.verify_cell_kzg_proof_batch(
+                [bytes.fromhex(x[2:]) for x in inp["commitments"]],
+                list(inp["cell_indices"]),
+                [bytes.fromhex(x[2:]) for x in inp["cells"]],
+                [bytes.fromhex(x[2:]) for x in inp["proofs"]],
+            )
+            assert out is True, f"{c}: expected failure"
+        except Exception as e:
+            assert out is not True, f"{c}: unexpected {e!r}"
+        ran += 1
+        if ran >= 8:
+            break
+    mark(f"verify spec fixtures x{ran} match")
+
     # recover from the first 64 cells
     rec_cells, rec_proofs = ctx.recover_cells_and_kzg_proofs(
         list(range(64)), list(cells[:64])

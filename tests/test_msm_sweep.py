@@ -101,7 +101,7 @@ def test_fixed_base_msm_sweep(n, window, chains):
 @pytest.mark.skipif(
     constants.FIELD != "tiny", reason="sweep runs via the subprocess wrapper"
 )
-@pytest.mark.parametrize("n,window", [(64, 2), (96, 5), (128, 8)])
+@pytest.mark.parametrize("n,window", [(64, 2), (96, 5), (128, 8), (4096, 8)])
 def test_pippenger_sweep(n, window):
     import jax.numpy as jnp
 
