@@ -97,7 +97,9 @@ def main():
     from rust_eth_kzg_tpu.ops import ntt
     from rust_eth_kzg_tpu.utils.timing import sync, timeit
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # B=8 measured fastest on v5e (42.8 blobs/s vs 39.3 at 16, 37.7 at 32 —
+    # per-blob cost grows past B~8 as the window-sum working set pressures HBM)
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     window = int(os.environ.get("BENCH_WINDOW", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t_bench_start = time.time()

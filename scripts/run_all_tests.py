@@ -22,23 +22,21 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 
+# Groups run as ONE pytest invocation each: on the tunneled TPU every fresh
+# process pays a multi-minute device claim + its own compiles, so 16
+# per-file subprocesses would cost hours. Three groups keep failure
+# isolation between tiers while sharing claims/compiles within one.
 DEFAULT_FILES = [
-    "tests/test_field.py",
-    "tests/test_bounds.py",
-    "tests/test_curve.py",
-    "tests/test_ntt.py",
-    "tests/test_msm.py",
-    "tests/test_msm_sweep.py",
-    "tests/test_pallas.py",
-    "tests/test_pairing.py",
-    "tests/test_decompress.py",
-    "tests/test_fk20.py",
-    "tests/test_reed_solomon.py",
-    "tests/test_production_config.py",
-    "tests/test_mesh.py",
-    "tests/test_mesh_mainnet_geometry.py",
-    "tests/test_spec_eip4844.py",
-    "tests/test_spec_eip7594.py",
+    # unit + adversarial + oracle tiers (one process, shared claims)
+    "tests/test_field.py tests/test_bounds.py tests/test_curve.py "
+    "tests/test_curve_g2.py tests/test_ntt.py tests/test_msm.py "
+    "tests/test_msm_sweep.py tests/test_pallas.py tests/test_pairing.py "
+    "tests/test_decompress.py tests/test_fk20.py tests/test_recover_fused.py "
+    "tests/test_reed_solomon.py tests/test_production_config.py",
+    # multi-chip tiers (spawn their own CPU-pinned subprocesses)
+    "tests/test_mesh.py tests/test_mesh_mainnet_geometry.py",
+    # consensus-spec vector tiers (session-shared DASContext)
+    "tests/test_spec_eip4844.py tests/test_spec_eip7594.py",
 ]
 
 _SUMMARY = re.compile(
@@ -90,7 +88,7 @@ def main():
                 sys.executable,
                 "-m",
                 "pytest",
-                f,
+                *f.split(),
                 "-q",
                 "-p",
                 "no:cacheprovider",
@@ -98,7 +96,7 @@ def main():
             cwd=ROOT,
             capture_output=True,
             text=True,
-            timeout=5400,
+            timeout=7200,
         )
         dt = time.time() - t0
         passed, failed, skipped = parse_counts(proc.stdout)

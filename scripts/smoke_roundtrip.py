@@ -90,10 +90,13 @@ def main():
     from pathlib import Path
 
     vec = Path("/root/reference/test_vectors")
-    case = sorted(
+    case = data = None
+    for case in sorted(
         (vec / "compute_cells_and_kzg_proofs").glob("*/*/data.yaml")
-    )[0]
-    data = yaml.safe_load(case.read_text())
+    ):
+        data = yaml.safe_load(case.read_text())
+        if data["output"] is not None:  # skip must-error fixtures here
+            break
     fx_blob = bytes.fromhex(data["input"]["blob"][2:])
     want_cells, want_proofs = data["output"]
     got_cells, got_proofs = ctx.compute_cells_and_kzg_proofs(fx_blob)

@@ -34,21 +34,29 @@ lim = lambda: jnp.asarray(
 x, y, z = lim(), lim(), lim()
 p = C.G1(x, y, z)
 
-def chain_add():
+@jax.jit
+def _chain_add(p):
     q = p
     for _ in range(8):
         q = PK.g1_add(q, p)
     return q
 
+def chain_add():
+    return _chain_add(p)
+
 sync(chain_add())
 dt = timeit(chain_add, iters=3) / 8
 print(f"g1_add: {dt/n*1e9:.1f} ns/lane", flush=True)
 
-def chain_mul():
+@jax.jit
+def _chain_mul(x, y):
     a = x
     for _ in range(16):
         a = PK.mont_mul(F.FP, a, y)
     return a
+
+def chain_mul():
+    return _chain_mul(x, y)
 
 sync(chain_mul())
 dt = timeit(chain_mul, iters=3) / 16
