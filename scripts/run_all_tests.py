@@ -26,16 +26,25 @@ ROOT = Path(__file__).resolve().parent.parent
 # process pays a multi-minute device claim + its own compiles, so 16
 # per-file subprocesses would cost hours. Three groups keep failure
 # isolation between tiers while sharing claims/compiles within one.
+#
+# CRITICAL (learned the hard way): the device pool serializes clients, and
+# sitecustomize registers the axon backend in EVERY new python process. A
+# test that spawns a python subprocess while its parent holds the TPU claim
+# DEADLOCKS the pool (child blocks at import, parent waits on child) — so
+# every subprocess-spawning tier runs under a CPU-pinned parent.
 DEFAULT_FILES = [
-    # unit + adversarial + oracle tiers (one process, shared claims)
+    # unit + adversarial + oracle tiers (one TPU process, shared claims;
+    # no python-subprocess spawns in any of these files)
     "tests/test_field.py tests/test_bounds.py tests/test_curve.py "
     "tests/test_curve_g2.py tests/test_ntt.py tests/test_msm.py "
-    "tests/test_msm_sweep.py tests/test_pallas.py tests/test_pairing.py "
+    "tests/test_pallas.py tests/test_pairing.py "
     "tests/test_decompress.py tests/test_fk20.py tests/test_recover_fused.py "
     "tests/test_reed_solomon.py tests/test_production_config.py",
-    # multi-chip tiers (spawn their own CPU-pinned subprocesses)
-    "tests/test_mesh.py tests/test_mesh_mainnet_geometry.py",
-    # consensus-spec vector tiers (session-shared DASContext)
+    # subprocess-spawning tiers (tiny-field sweeps + multi-chip CPU mesh):
+    # CPU parent, no TPU claim anywhere in the tree
+    "cpu::tests/test_msm_sweep.py tests/test_mesh.py "
+    "tests/test_mesh_mainnet_geometry.py",
+    # consensus-spec vector tiers (session-shared DASContext, one TPU claim)
     "tests/test_spec_eip4844.py tests/test_spec_eip7594.py",
 ]
 
@@ -71,17 +80,25 @@ def main():
     commit = subprocess.run(
         ["git", "rev-parse", "HEAD"], cwd=ROOT, capture_output=True, text=True
     ).stdout.strip()
-    backend = subprocess.run(
-        [sys.executable, "-c", "import jax; print(jax.default_backend())"],
-        cwd=ROOT,
-        capture_output=True,
-        text=True,
-    ).stdout.strip().splitlines()[-1:]
-    backend = backend[0] if backend else "unknown"
+    try:
+        backend = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        ).stdout.strip().splitlines()[-1:]
+        backend = backend[0] if backend else "unknown"
+    except subprocess.TimeoutExpired:
+        backend = "unknown (backend probe timed out)"
 
     records = []
     t_suite = time.time()
     for f in files:
+        env = dict(os.environ)
+        if f.startswith("cpu::"):
+            f = f[len("cpu::"):]
+            env.update(JAX_PLATFORMS="cpu", KZG_TPU_PALLAS="0")
         t0 = time.time()
         proc = subprocess.run(
             [
@@ -94,6 +111,7 @@ def main():
                 "no:cacheprovider",
             ],
             cwd=ROOT,
+            env=env,
             capture_output=True,
             text=True,
             timeout=7200,
