@@ -444,7 +444,7 @@ def _bench_pack_verify(v, cell_limbs, commitment, proofs, r):
         np.concatenate(
             [xs.ravel(), flags_np.ravel(), scal3.ravel(), evals.ravel(),
              r_mont.ravel(), cidx]
-        )
+        ).astype(np.uint16)  # transfer form matches FK20Verifier.verify
     )
 
 

@@ -297,6 +297,7 @@ class DASContext:
                 [ser.deserialize_scalars(b, self.config.poly_len) for b in blobs],
                 axis=1,
             )
+        data = data.astype(np.uint16)  # 15-bit limbs; halve the upload bytes
         if self.mesh is not None:
             out = self._prove_packed_sharded(jnp.asarray(data))
         else:
@@ -380,17 +381,18 @@ class DASContext:
         for cell_indices, cells in batches:
             e_std, missing = self._recover_inputs(cell_indices, cells)
             e_stds.append(e_std)
-            z_stds.append(self.rs.construct_vanishing_poly(missing))
+            z_stds.append(self.rs.construct_vanishing_poly_small(missing))
         e_std = np.stack(e_stds, axis=1)  # [L, B, ext]
-        z_std = np.stack(z_stds, axis=1)  # [L, B, ext]
+        z_small = np.stack(z_stds, axis=1)  # [L, B, nz]
         b = len(batches)
+        # uint16 transfer form: every element is a canonical 15-bit limb
         packed = jnp.asarray(
-            np.concatenate([e_std.ravel(), z_std.ravel()]).astype(np.int32)
+            np.concatenate([e_std.ravel(), z_small.ravel()]).astype(np.uint16)
         )
         out = FK._recover_prove_packed(
             self.rs, self.prover, self.prover.tables, packed, b
         )
-        host = np.asarray(out)  # one fetch
+        host = np.asarray(out).astype(np.int32)  # one fetch
         ok = host[:b].astype(bool)
         if not ok.all():
             bad = [i for i, v in enumerate(ok) if not v]

@@ -288,10 +288,12 @@ class FK20Prover:
 
 def pack_prove_outputs(proofs_aff: C.G1Affine, cells_mont: jnp.ndarray):
     """(proofs G1Affine [B, K], cells [L, B, K, M] Montgomery) -> one flat
-    int32 vector for a single device->host fetch: canonical standard-form
+    uint16 vector for a single device->host fetch: canonical standard-form
     cell scalars, then proof x/y standard-form limbs, then the identity mask.
     On the tunneled TPU each fetch is a ~20 ms round trip; the separate
     cells/proofs fetches used to put two of them on every prover-path call.
+    Every element is a canonical 15-bit limb (or a 0/1 flag), so uint16
+    transfer halves the fetch bytes of the int32 compute form.
     """
     from ..constants import FP_LIMBS as _FPL
 
@@ -305,7 +307,7 @@ def pack_prove_outputs(proofs_aff: C.G1Affine, cells_mont: jnp.ndarray):
             py.reshape(-1),
             proofs_aff.inf.reshape(-1).astype(jnp.int32),
         ]
-    )
+    ).astype(jnp.uint16)
 
 
 def unpack_prove_outputs(host: np.ndarray, b: int, k: int, m: int):
@@ -315,6 +317,7 @@ def unpack_prove_outputs(host: np.ndarray, b: int, k: int, m: int):
     proofs_y_std [FPL, B*K], inf [B*K])."""
     from ..constants import FP_LIMBS as _FPL
 
+    host = np.asarray(host).astype(np.int32)
     rl = FR.nlimbs
     ncells = rl * b * k * m
     npts = b * k
@@ -339,8 +342,9 @@ def _prove_packed_from_data(
     upload and drain it with ONE fetch. `slot_sharding` (a NamedSharding,
     static) constrains the FK20 proof-slot axis across a device mesh's work
     axis — the multi-chip layout of parallel/mesh.py reached through the
-    public DASContext(mesh=...) API."""
-    data = F.to_mont(FR, data_std)
+    public DASContext(mesh=...) API. `data_std` may arrive as uint16 (the
+    transfer form of the 15-bit limbs); compute runs in int32."""
+    data = F.to_mont(FR, data_std.astype(jnp.int32))
     poly = prover.blob_to_poly(data)
     if slot_sharding is not None:
         h = prover._h_poly_commitments(poly, slot_sharding, tables=tables)
@@ -354,19 +358,29 @@ def _prove_packed_from_data(
 
 @partial(jax.jit, static_argnums=(0, 1, 4))
 def _recover_prove_packed(rs, prover: FK20Prover, tables, packed: jnp.ndarray, b: int):
-    """Fused recover + re-prove: packed = [e_eval std | z_std] int32 flat,
-    both [L, B, ext]. Returns [ok flags [B] | packed prove outputs]."""
+    """Fused recover + re-prove: packed = [e_eval std | z_small std] uint16
+    flat. e is [L, B, ext]; z_small is [L, B, nz] holding the UN-spread
+    vanishing-polynomial coefficients (nz = max tolerable erasures + 1),
+    spread to the codeword domain at stride num_blocks on device
+    (reed_solomon.rs:220-262 does the spread on host — but the dense form
+    is 64x the bytes of its information content, and on a tunneled chip the
+    upload is the cost). Returns uint16 [ok flags [B] | packed prove outputs].
+    """
     rl = FR.nlimbs
     ext = rs.codeword_length
+    nz = rs.acceptable_num_block_erasures + 1
     n = rl * b * ext
+    packed = packed.astype(jnp.int32)
     e_std = packed[:n].reshape(rl, b, ext)
-    z_std = packed[n : 2 * n].reshape(rl, b, ext)
+    z_small = packed[n : n + rl * b * nz].reshape(rl, b, nz)
+    pos = np.arange(nz) * rs.num_blocks
+    z_std = jnp.zeros((rl, b, ext), jnp.int32).at[:, :, pos].set(z_small)
     e_eval = F.to_mont(FR, e_std)
     d_coeffs, ok = rs._recover_device(e_eval, z_std)
     poly = d_coeffs[..., : rs.poly_len]
     proofs_aff, cells = _prove_from_poly(prover, tables, poly)
     return jnp.concatenate(
-        [ok.astype(jnp.int32), pack_prove_outputs(proofs_aff, cells)]
+        [ok.astype(jnp.uint16), pack_prove_outputs(proofs_aff, cells)]
     )
 
 

@@ -161,12 +161,12 @@ class FK20Verifier:
                     r_mont.ravel(),
                     cidx,
                 ]
-            )
+            ).astype(np.uint16)  # 15-bit limbs: halve the upload bytes
         )
         out = _verify_device(
             self, self._commit_tables, self._coset_scale, packed, batch, padded
         )
-        host = np.asarray(out)  # ONE packed fetch
+        host = np.asarray(out).astype(np.int32)  # ONE packed fetch
 
         npt = 2 * padded
         fl = FP.nlimbs
@@ -215,16 +215,18 @@ def _verify_device(
 ):
     """The verify device pipeline as one XLA program.
 
-    packed layout (int32): x limbs of [commitments(padded) | proofs(padded)],
-    sort/inf flags, the three Montgomery scalar sets, coset evals
-    (standard-form), r-powers (Montgomery), coset indices. Returns one packed
-    int32 vector: 4 affine points + per-point validity flags.
+    packed layout (uint16 transfer form — every element a 15-bit limb, a
+    0/1 flag, or a small index): x limbs of [commitments(padded) |
+    proofs(padded)], sort/inf flags, the three Montgomery scalar sets,
+    coset evals (standard-form), r-powers (Montgomery), coset indices.
+    Returns one packed uint16 vector: 4 affine points + validity flags.
     """
     cs = verifier.coset_size
     fl = FP.nlimbs
     rl = FR.nlimbs
     npt = 2 * padded
 
+    packed = packed.astype(jnp.int32)
     off = 0
 
     def take(n):
@@ -300,4 +302,4 @@ def _verify_device(
             on_curve.astype(jnp.int32),
             in_sub.astype(jnp.int32),
         ]
-    )
+    ).astype(jnp.uint16)

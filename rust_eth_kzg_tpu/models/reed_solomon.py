@@ -97,6 +97,33 @@ class ReedSolomon:
 
         return L.ints_to_limbs(z, FR.nlimbs)
 
+    def construct_vanishing_poly_small(self, block_indices: list[int]) -> np.ndarray:
+        """Host: the UN-spread vanishing coefficients, [L, nz] with
+        nz = acceptable_num_block_erasures + 1 (zero-padded).
+
+        The dense codeword-domain polynomial (`construct_vanishing_poly`)
+        is exactly these coefficients spread at stride num_blocks — 64x the
+        bytes of the same information. The fused recover path uploads this
+        form and spreads on device (models/fk20._recover_prove_packed)."""
+        for b in block_indices:
+            if b >= self.block_size:
+                raise RecoveryError(
+                    f"invalid block index {b} for block size {self.block_size}"
+                )
+        if len(block_indices) > self.acceptable_num_block_erasures:
+            raise RecoveryError(
+                f"{len(block_indices)} block erasures exceed the maximum "
+                f"{self.acceptable_num_block_erasures}"
+            )
+        block_domain = ntt.domain(self.block_size)
+        roots = [block_domain.roots[b] for b in block_indices]
+        small = vanishing_poly_host(roots)
+        nz = self.acceptable_num_block_erasures + 1
+        z = list(small) + [0] * (nz - len(small))
+        from ..ops import limbs as L
+
+        return L.ints_to_limbs(z, FR.nlimbs)
+
     @partial(jax.jit, static_argnums=0)
     def _recover_device(self, e_eval: jnp.ndarray, z_std: jnp.ndarray):
         """Device part: e_eval [L, B, n] Montgomery (zeros at erasures),

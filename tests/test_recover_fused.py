@@ -79,18 +79,27 @@ def test_recover_prove_packed_matches_unfused():
     want_proofs, want_cells = prover.prove_from_poly(want_poly)
     want_pack = np.asarray(FK.pack_prove_outputs(want_proofs, want_cells))
 
-    # fused program: identical bits out
+    # fused program: identical bits out (uint16 transfer form, sparse z)
+    z_small = np.asarray(rs.construct_vanishing_poly_small(missing))
+    nz = rs.acceptable_num_block_erasures + 1
+    assert z_small.shape == (FR.nlimbs, nz)
+    # the small form spread at stride num_blocks must equal the dense form
+    spread = np.zeros_like(z_std)
+    spread[:, np.arange(nz) * rs.num_blocks] = z_small
+    np.testing.assert_array_equal(spread, z_std)
     packed_in = jnp.asarray(
         np.concatenate(
             [
                 e_std.ravel(),
-                np.broadcast_to(z_std[:, None, :], e_std.shape).ravel(),
+                np.broadcast_to(
+                    z_small[:, None, :], (FR.nlimbs, b, nz)
+                ).ravel(),
             ]
-        ).astype(np.int32)
+        ).astype(np.uint16)
     )
     out = np.asarray(
         FK._recover_prove_packed(rs, prover, prover.tables, packed_in, b)
-    )
+    ).astype(np.int64)
     ok = out[:b]
     assert ok.astype(bool).all(), "degree check must pass on valid erasures"
     np.testing.assert_array_equal(out[b:], want_pack)
@@ -102,6 +111,7 @@ def test_recover_prove_packed_matches_unfused():
     # the tolerable erasure count.
     missing2 = missing[: len(missing) // 2]
     z2_std = np.asarray(rs.construct_vanishing_poly(missing2))
+    z2_small = np.asarray(rs.construct_vanishing_poly_small(missing2))
     z2_eval = np.asarray(
         F.from_mont(
             FR,
@@ -121,9 +131,11 @@ def test_recover_prove_packed_matches_unfused():
         np.concatenate(
             [
                 bad.ravel(),
-                np.broadcast_to(z2_std[:, None, :], bad.shape).ravel(),
+                np.broadcast_to(
+                    z2_small[:, None, :], (FR.nlimbs, b, nz)
+                ).ravel(),
             ]
-        ).astype(np.int32)
+        ).astype(np.uint16)
     )
     out_bad = np.asarray(
         FK._recover_prove_packed(rs, prover, prover.tables, packed_bad, b)
