@@ -135,6 +135,20 @@ def main():
             f"{skipped} skipped in {dt:.0f}s",
             flush=True,
         )
+        # incremental partial record: if the run is killed mid-suite (round
+        # deadline), the completed groups still have a checked-in record
+        partial = {
+            "commit": commit,
+            "backend": backend,
+            "green": False,
+            "in_progress": True,
+            "total_passed": sum(r["passed"] for r in records),
+            "total_failed": sum(r["failed"] for r in records),
+            "total_seconds": round(time.time() - t_suite, 1),
+            "files": records,
+        }
+        with open(ROOT / args.out, "w") as fh:
+            json.dump(partial, fh, indent=1)
 
     result = {
         "commit": commit,
